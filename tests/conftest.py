@@ -57,6 +57,7 @@ def make_keys(rng, n, dtype=np.uint32, distribution="uniform28"):
     if distribution == "constant":
         return np.full(n, 42, dtype=dtype)
     if distribution == "zipf":
-        raw = rng.zipf(1.3, size=n)
-        return (raw % (np.iinfo(dtype).max if dtype.kind == "u" else (1 << 30))).astype(dtype)
+        raw = rng.zipf(1.3, size=n).astype(np.uint64)
+        mod = np.uint64(np.iinfo(dtype).max) if dtype.kind == "u" else np.uint64(1 << 30)
+        return (raw % mod).astype(dtype)
     raise ValueError(distribution)
