@@ -1,0 +1,100 @@
+"""Benchmark driver — prints ONE JSON line with the north-star metric.
+
+Metric (BASELINE.json): keys/s/chip sorting 1e8 uint32 key-value pairs,
+stable, exactly matching the std::sort oracle. vs_baseline is relative to
+the reference's only absolute published number: 52.7M keys/s for 1e6 u32
+keys on an RTX 3070 (reference README.md:256, single_radixsort).
+
+Correctness at bench scale is validated DEVICE-SIDE (sortedness + key
+multiset preservation + key/value pairing checksum) because fetching 800MB
+over the host tunnel is impractical; exact bitwise oracle checks vs numpy
+run in tests/ at every size the host can hold. A 1e6 subsample IS fetched
+and checked bitwise against np.sort here.
+
+Extra diagnostics go to stderr; stdout carries exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+REFERENCE_KEYS_PER_S = 52.7e6  # reference README.md:256
+
+
+def device_side_checks(vk, jnp, jax, keys, values, out_k, out_v):
+    """Sorted + multiset-preserving + pairing-preserving, all on device."""
+    diffs_ok = bool(jnp.all(out_k[1:] >= out_k[:-1]))
+    # Key multiset: compare histograms of a fast mix of the keys.
+    def mix(x):
+        x = x ^ (x >> np.uint32(16))
+        x = x * np.uint32(0x7FEB352D)
+        return x ^ (x >> np.uint32(15))
+
+    h_in = jnp.bincount(mix(keys) >> np.uint32(20), length=4096)
+    h_out = jnp.bincount(mix(out_k) >> np.uint32(20), length=4096)
+    hist_ok = bool(jnp.all(h_in == h_out))
+    # Pairing: sum over elements of mix(key) * mix(value) is permutation-invariant
+    # and sensitive to any key/value re-pairing.
+    s_in = jnp.sum((mix(keys) * mix(values)).astype(jnp.uint32))
+    s_out = jnp.sum((mix(out_k) * mix(out_v)).astype(jnp.uint32))
+    pair_ok = bool(s_in == s_out)
+    return diffs_ok and hist_ok and pair_ok
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import vkradixsort_tpu as vk
+    from vkradixsort_tpu.utils.timing import measure_pairs_seconds_per_call
+
+    n = 100_000_000
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0xBE7C)
+
+    # Exact bitwise oracle at host-manageable size first.
+    small = rng.integers(0, 1 << 32, size=1_000_000, dtype=np.uint32)
+    sv = np.arange(small.size, dtype=np.uint32)
+    ok_k, ok_v = vk.sort_pairs(jnp.asarray(small), jnp.asarray(sv))
+    perm = np.argsort(small, kind="stable")
+    assert np.array_equal(np.asarray(ok_k), small[perm]), "oracle mismatch (keys)"
+    assert np.array_equal(np.asarray(ok_v), perm.astype(np.uint32)), "oracle mismatch (values)"
+    log("1e6 bitwise oracle vs np stable argsort: exact")
+
+    # Headline: 1e8 kv pairs on the real chip.
+    keys = jnp.asarray(rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
+    values = jnp.arange(n, dtype=jnp.uint32)
+
+    def f(k, v):
+        return vk.sort_pairs(k, v)
+
+    out_k, out_v = jax.jit(f)(keys, values)
+    checks = device_side_checks(vk, jnp, jax, keys, values, out_k, out_v)
+    assert checks, "device-side validation failed at 1e8"
+    log("1e8 device-side validation (sorted/multiset/pairing): ok")
+
+    dt = measure_pairs_seconds_per_call(f, keys, values, reps=4)
+    keys_per_s = n / dt
+    log(f"1e8 u32 kv-pairs: {dt*1e3:.2f} ms -> {keys_per_s/1e6:.1f} M keys/s/chip")
+
+    print(
+        json.dumps(
+            {
+                "metric": "u32 kv-pair sort throughput (N=1e8, single chip, stable, validated)",
+                "value": round(keys_per_s / 1e6, 1),
+                "unit": "M keys/s/chip",
+                "vs_baseline": round(keys_per_s / REFERENCE_KEYS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Distributed sort tests on the 8-virtual-device CPU mesh (SURVEY.md §4 (c))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vkradixsort_tpu.engine.context import TPUContext
+from vkradixsort_tpu.parallel.distributed import gather_sorted, sort_sharded
+from tests.conftest import make_keys
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device mesh"
+)
+
+
+def _mesh():
+    return TPUContext().mesh_1d("x")
+
+
+@pytest.mark.parametrize("n", [8 * 1024, 8 * 5000])
+@pytest.mark.parametrize("dist", ["uniform", "uniform28", "descending", "constant"])
+def test_sort_sharded_u32(rng, n, dist):
+    keys = make_keys(rng, n, np.uint32, dist)
+    mesh = _mesh()
+    pk, counts, overflow = sort_sharded(jnp.asarray(keys), mesh)
+    assert not np.any(np.asarray(overflow)), "bucket overflow at default slack"
+    got = gather_sorted(pk, counts)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_sharded_zipf_skew(rng):
+    # Heavy skew (BASELINE.json config #4): oversampling must keep buckets
+    # within slack.
+    keys = make_keys(rng, 8 * 4096, np.uint32, "zipf")
+    mesh = _mesh()
+    pk, counts, overflow = sort_sharded(
+        jnp.asarray(keys), mesh, slack=4.0, oversample=64
+    )
+    assert not np.any(np.asarray(overflow))
+    got = gather_sorted(pk, counts)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_sharded_kv_stability(rng):
+    n = 8 * 2048
+    keys = (make_keys(rng, n, np.uint32, "uniform") % 97).astype(np.uint32)
+    vals = np.arange(n, dtype=np.int32)
+    mesh = _mesh()
+    pk, counts, overflow, pv = sort_sharded(
+        jnp.asarray(keys), mesh, values=jnp.asarray(vals)
+    )
+    assert not np.any(np.asarray(overflow))
+    got_k, got_v = gather_sorted(pk, counts, pv)
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(got_k, keys[perm])
+    np.testing.assert_array_equal(got_v, perm.astype(np.int32))
+
+
+def test_sort_sharded_u64(rng):
+    keys = make_keys(rng, 8 * 1024, np.uint64, "uniform")
+    mesh = _mesh()
+    pk, counts, overflow = sort_sharded(jnp.asarray(keys), mesh)
+    assert not np.any(np.asarray(overflow))
+    got = gather_sorted(pk, counts)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_sharded_float(rng):
+    keys = ((rng.random(8 * 1024) * 2 - 1) * 1e6).astype(np.float32)
+    mesh = _mesh()
+    pk, counts, overflow = sort_sharded(jnp.asarray(keys), mesh)
+    assert not np.any(np.asarray(overflow))
+    got = gather_sorted(pk, counts)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_sharded_jit_compatible(rng):
+    # The whole distributed sort inside a user jit.
+    keys = make_keys(rng, 8 * 1024, np.uint32, "uniform")
+    mesh = _mesh()
+
+    @jax.jit
+    def f(k):
+        return sort_sharded(k, mesh)
+
+    pk, counts, overflow = f(jnp.asarray(keys))
+    got = gather_sorted(pk, counts)
+    np.testing.assert_array_equal(got, np.sort(keys))

