@@ -18,13 +18,15 @@ class SortConfig:
     """Static knobs for the sort pipelines.
 
     Attributes:
-      fused_max_n: largest N routed to the fused in-VMEM kernel — the
-        analog of the reference's single-vs-multi crossover at ~10k
-        elements (reference README.md:18-21), re-tuned for TPU VMEM.
+      fused_max_n: largest N accepted by the fused in-VMEM matmul-radix
+        kernel when explicitly selected (``backend="fused"``) — the analog
+        of the reference's single-regime size bound (README.md:18-21).
+        Above this the kernel's quadratic matmul-scatter cost and compile
+        time are prohibitive.
       chunk: elements per rank/scatter chunk inside kernels; destination
         range of one MXU one-hot scatter. Power of two, multiple of 128.
-      tile: elements per grid step of the tiled pipeline — the analog of
-        NUM_BLOCKS_PER_WORKGROUP * WORKGROUP_SIZE elements per workgroup
+      tile: elements per grid step of the radix_tiled pipeline — the analog
+        of NUM_BLOCKS_PER_WORKGROUP * WORKGROUP_SIZE elements per workgroup
         (reference MultiRadixSort.cpp:12-17); the central grain-size knob.
       msd_bits: top bits used by the large-N MSD bucketize stage.
       interpret: run Pallas kernels in interpreter mode (the validation-

@@ -3,18 +3,36 @@
 The reference ships two separate hard-wired programs and documents "use
 single for N < ~10k, multi otherwise" (reference README.md:11-22). Here the
 regime split is a dispatcher: one public ``sort`` / ``sort_pairs`` /
-``argsort`` that routes to
+``argsort`` that routes across interchangeable engines:
 
-  * the fused in-VMEM Pallas kernel for small N (single_radixsort analog),
-  * the tiled multi-pass pipeline for large N (multi_radixsort analog),
-  * the pure-jnp reference path on non-TPU backends.
+  engine        analog of                      use
+  ------------  -----------------------------  --------------------------------
+  "tiled"       multi_radixsort (production)   XLA sort in signed space; the
+                                               measured-fastest exact path at
+                                               every single-chip size (see
+                                               BENCHMARKS.md)
+  "bitonic"     single_radixsort (in-VMEM,     whole sort in ONE Pallas kernel;
+                one kernel launch)             ~2 s compile, 0.5-1 G keys/s
+  "fused"       single_radixsort (LSD radix    Pallas matmul-radix; structural
+                digit passes, one kernel)      parity path — minutes to compile,
+                                               never routed implicitly
+  "samplesort"  multi_radixsort's histogram/   splitter partition + Pallas DMA
+                scatter pipeline, re-designed  placement; basis of the
+                around bulk DMA                distributed shuffle
+  "radix_tiled" multi_radixsort histogram +    explicit per-digit histogram/
+                scan + rank/scatter            scan/rank pipeline (Pallas)
+  "reference"   the CPU std::sort oracle       pure-jnp radix sort, any backend
+
+``backend=None`` picks by measured routing: the XLA tiled path on TPU (it
+wins at every size we measured — narrow margins under 4k, 2-10x beyond),
+the jnp reference path elsewhere. The reference's single-vs-multi crossover
+(~10k keys on an RTX 3070) has no TPU analog single-chip: XLA compiles the
+small-N sort into one fused kernel already, which IS the "single" regime.
 
 All entry points are jit-compatible, stable, and bitwise-exact vs np.sort.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +40,8 @@ import jax.numpy as jnp
 from vkradixsort_tpu.engine.config import DEFAULT_CONFIG, SortConfig
 from vkradixsort_tpu.ops import reference
 from vkradixsort_tpu.ops.common import decode_keys, encode_keys
+
+ENGINES = ("tiled", "bitonic", "fused", "samplesort", "radix_tiled", "reference")
 
 
 def _on_tpu() -> bool:
@@ -31,39 +51,48 @@ def _on_tpu() -> bool:
         return False
 
 
-def _available(path: str) -> bool:
-    try:
-        if path == "fused":
-            import vkradixsort_tpu.ops.fused  # noqa: F401
-        elif path == "tiled":
-            import vkradixsort_tpu.ops.tiled  # noqa: F401
-        return True
-    except ImportError:
-        return False
-
-
 def _route(n: int, config: SortConfig, backend: str | None) -> str:
     if backend is not None:
+        if backend not in ENGINES:
+            raise ValueError(f"unknown backend {backend!r}; pick from {ENGINES}")
         return backend
-    if not _on_tpu():
-        return "reference"
-    if n <= config.fused_max_n and _available("fused"):
-        return "fused"
-    if n > config.fused_max_n and _available("tiled"):
-        return "tiled"
-    return "reference"
+    return "tiled" if _on_tpu() else "reference"
 
 
 def _sort_encoded(enc, values, config: SortConfig, path: str):
-    """Sort already-encoded uint keys via the selected path."""
-    if path == "fused":
-        from vkradixsort_tpu.ops import fused
-
-        return fused.sort_fused(enc, values, config)
+    """Sort already-encoded unsigned keys via the selected engine."""
     if path == "tiled":
         from vkradixsort_tpu.ops import tiled
 
         return tiled.sort_tiled(enc, values, config)
+    if path == "bitonic":
+        from vkradixsort_tpu.ops import bitonic, segsort
+
+        s = segsort.to_signed_order(enc)
+        vals = () if values is None else (values,)
+        out_s, out_v = bitonic.bitonic_sort_block(
+            s, vals, stable=bool(vals), interpret=config.interpret
+        )
+        out_k = segsort.from_signed_order(out_s, enc.dtype)
+        return out_k, (out_v[0] if vals else None)
+    if path == "fused":
+        from vkradixsort_tpu.ops import fused
+
+        return fused.sort_fused(enc, values, config)
+    if path == "samplesort":
+        from vkradixsort_tpu.ops import samplesort
+
+        if values is not None:
+            raise NotImplementedError(
+                "samplesort is a keys-only engine (duplicate keys are "
+                "interchangeable); use backend='tiled' for key-value sorts"
+            )
+        out = samplesort.sort_samplesort(enc, interpret=config.interpret)
+        return out, None
+    if path == "radix_tiled":
+        from vkradixsort_tpu.ops import radix_tiled
+
+        return radix_tiled.sort_radix_tiled(enc, values, interpret=config.interpret)
     if path == "reference":
         return reference._sort_encoded(enc, values, num_chunks=1)
     raise ValueError(f"unknown sort path {path!r}")

@@ -213,6 +213,10 @@ def _sort_fused_impl(enc, values_u, config: SortConfig, has_values: bool, value_
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * num_planes,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * num_planes,
+        # The one-hot working set (wide (R, 2048) prefix chains + permutation
+        # factors) exceeds the default 16 MiB scoped-VMEM budget; v5e/v5p
+        # have 128 MiB, so raise the Mosaic limit explicitly.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=config.interpret,
     )(*planes)
 
