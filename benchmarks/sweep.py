@@ -1,0 +1,145 @@
+"""Benchmark sweep CLI — the reference's experiment matrix, reproduced.
+
+The reference produced its README timing plots from commented-out CSV
+appenders writing ``N NBPW gpuTime cpuTime`` per run
+(singleradixsort/src/SingleRadixSort.cpp:44-46,
+multiradixsort/src/MultiRadixSort.cpp:78-80, loops in the example mains).
+This CLI is that harness as a first-class tool: sweep engines x sizes x
+distributions on the attached TPU, verify each point exactly against the
+host oracle where the host can hold it, and append CSV rows
+
+    engine,n,dtype,kv,distribution,tpu_ms,cpu_ms,mkeys_per_s,exact
+
+Usage:
+    python benchmarks/sweep.py                          # default matrix
+    python benchmarks/sweep.py --engines tiled,bitonic --sizes 1e3,1e5,1e6
+    python benchmarks/sweep.py --kv --csv out.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+# runnable as `python benchmarks/sweep.py` from a source checkout
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def parse_sizes(s: str) -> list[int]:
+    return [int(float(x)) for x in s.split(",")]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--engines", default="tiled",
+                    help="comma list: tiled,bitonic,samplesort,radix_tiled,reference,fused")
+    ap.add_argument("--sizes", default="1e2,1e3,1e4,1e5,1e6,1e7,1e8",
+                    help="comma list of N (floats ok)")
+    ap.add_argument("--distribution", default="uniform",
+                    choices=["uniform", "uniform28", "descending", "constant", "zipf"])
+    ap.add_argument("--kv", action="store_true", help="sort key-value pairs")
+    ap.add_argument("--dtype", default="uint32", choices=["uint32", "uint64"])
+    ap.add_argument("--csv", default="sweep.csv", help="CSV output path (appends)")
+    ap.add_argument("--verify-max", type=int, default=20_000_000,
+                    help="exact host verification up to this N (device-side sortedness above)")
+    ap.add_argument("--seed", type=int, default=0xBE7C)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    if args.dtype == "uint64":
+        jax.config.update("jax_enable_x64", True)
+
+    import vkradixsort_tpu as vk
+    from vkradixsort_tpu.utils.timing import (
+        measure_pairs_seconds_per_call,
+        measure_seconds_per_call,
+    )
+
+    from vkradixsort_tpu.utils.fixtures import make_keys
+
+    rng = np.random.default_rng(args.seed)
+    dtype = np.dtype(args.dtype)
+    engines = args.engines.split(",")
+    sizes = parse_sizes(args.sizes)
+    log(f"devices: {jax.devices()}  engines={engines} sizes={sizes} "
+        f"dist={args.distribution} kv={args.kv}")
+
+    rows = []
+    for n in sizes:
+        k_np = make_keys(rng, n, dtype, args.distribution)
+        keys = jnp.asarray(k_np)
+        t0 = time.perf_counter()
+        oracle = np.sort(k_np, kind="stable") if n <= args.verify_max else None
+        cpu_ms = (time.perf_counter() - t0) * 1e3 if oracle is not None else float("nan")
+
+        for engine in engines:
+            if engine == "bitonic" and n > (1 << 22):
+                continue  # VMEM bound
+            if engine == "fused" and n > (1 << 14):
+                continue  # compile-time bound
+            if engine == "samplesort" and (args.kv or n < (1 << 16)):
+                continue  # keys-only, large-N engine
+            try:
+                if args.kv:
+                    values = jnp.arange(n, dtype=jnp.uint32)
+
+                    def f(kk, vv, _e=engine):
+                        return vk.sort_pairs(kk, vv, backend=_e)
+
+                    out_k, out_v = jax.jit(f)(keys, values)
+                    dt = measure_pairs_seconds_per_call(f, keys, values, reps=4)
+                else:
+                    def f(kk, _e=engine):
+                        return vk.sort(kk, backend=_e)
+
+                    out_k = jax.jit(f)(keys)
+                    dt = measure_seconds_per_call(jax.jit(f), keys, reps=4)
+            except Exception as e:
+                log(f"  {engine:12s} n={n:>12,}: FAILED {type(e).__name__}: {str(e)[:100]}")
+                continue
+
+            if oracle is not None:
+                exact = bool(np.array_equal(np.asarray(out_k), oracle))
+                if args.kv:
+                    perm = np.argsort(k_np, kind="stable")
+                    exact = exact and bool(
+                        np.array_equal(np.asarray(out_v), perm.astype(np.uint32))
+                    )
+            else:
+                o = np.asarray(out_k[:: max(n // 1_000_000, 1)])
+                exact = bool((o[1:] >= o[:-1]).all())  # sampled sortedness
+            row = dict(
+                engine=engine, n=n, dtype=args.dtype, kv=int(args.kv),
+                distribution=args.distribution,
+                tpu_ms=round(dt * 1e3, 4), cpu_ms=round(cpu_ms, 2),
+                mkeys_per_s=round(n / dt / 1e6, 1), exact=int(exact),
+            )
+            rows.append(row)
+            log(f"  {engine:12s} n={n:>12,}: {dt*1e3:9.3f} ms  "
+                f"{n/dt/1e6:8.1f} M/s  exact={exact}")
+
+    if rows:
+        import os
+        new = not os.path.exists(args.csv)
+        with open(args.csv, "a", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+            if new:
+                w.writeheader()
+            w.writerows(rows)
+        log(f"wrote {len(rows)} rows to {args.csv}")
+
+
+if __name__ == "__main__":
+    main()
