@@ -1,0 +1,63 @@
+"""Render timing plots from sweep CSVs — the analog of the reference's
+``timings/*.png`` assets (reference README.md:251-283), produced from the
+same kind of CSV its commented-out appenders wrote.
+
+Usage:
+    python benchmarks/plot.py sweep.csv               # -> timings/*.png
+    python benchmarks/plot.py a.csv b.csv --out dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import csv
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("csvs", nargs="+", help="CSV files from benchmarks/sweep.py")
+    ap.add_argument("--out", default="timings", help="output directory")
+    args = ap.parse_args()
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = []
+    for path in args.csvs:
+        with open(path, newline="") as fh:
+            rows.extend(csv.DictReader(fh))
+    os.makedirs(args.out, exist_ok=True)
+
+    # One comparison plot per (dtype, kv, distribution): engine curves of
+    # time vs N on log-log axes, like timings/radixsort_comparison.png.
+    groups = collections.defaultdict(lambda: collections.defaultdict(list))
+    for r in rows:
+        key = (r["dtype"], r["kv"], r["distribution"])
+        groups[key][r["engine"]].append((int(r["n"]), float(r["tpu_ms"])))
+
+    for (dtype, kv, dist), engines in groups.items():
+        fig, ax = plt.subplots(figsize=(7, 5))
+        for engine, pts in sorted(engines.items()):
+            pts.sort()
+            ax.plot([p[0] for p in pts], [p[1] for p in pts],
+                    marker="o", label=engine)
+        ax.set_xscale("log")
+        ax.set_yscale("log")
+        ax.set_xlabel("N (elements)")
+        ax.set_ylabel("sort time (ms)")
+        kind = "key-value pairs" if kv == "1" else "keys"
+        ax.set_title(f"{dtype} {kind}, {dist} — TPU v5e")
+        ax.grid(True, which="both", alpha=0.3)
+        ax.legend()
+        name = f"sort_comparison_{dtype}_{'kv' if kv == '1' else 'keys'}_{dist}.png"
+        fig.savefig(os.path.join(args.out, name), dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        print(f"wrote {os.path.join(args.out, name)}")
+
+
+if __name__ == "__main__":
+    main()

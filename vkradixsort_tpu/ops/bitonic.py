@@ -94,10 +94,17 @@ def _bitonic_body(nlog: int, key, vals, flat, idx=None):
             j = (jnp.int32(1) << (kk - t)).astype(jnp.int32)
             return bitonic_stages(key2, vals2, flat, j, k, idx2)
 
-        key, idx_, vals = jax.lax.fori_loop(0, kk + 1, inner, (key, idx_, vals))
+        key, idx_, vals = jax.lax.fori_loop(
+            jnp.int32(0), kk + jnp.int32(1), inner, (key, idx_, vals)
+        )
         return key, idx_, vals
 
-    key, idx, vals = jax.lax.fori_loop(0, nlog, outer, (key, idx, vals))
+    # int32 loop bounds: under jax_enable_x64 Python-int bounds make the
+    # loop index i64, which Mosaic rejects and whose narrowing conversion
+    # hits a trace-time recursion inside Pallas kernels.
+    key, idx, vals = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(nlog), outer, (key, idx, vals)
+    )
     return key, idx, vals
 
 
@@ -154,12 +161,32 @@ def bitonic_sort_block(
     out_shapes = [jax.ShapeDtypeStruct((R, LANES), keys.dtype)] + [
         jax.ShapeDtypeStruct((R, LANES), v.dtype) for v in values
     ]
-    outs = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
         interpret=interpret,
-    )(*args)
+    )
+    if all(a.dtype.itemsize <= 4 for a in args):
+        # Trace the kernel with x64 semantics off: under jax_enable_x64,
+        # Python-int operands in the network's index math promote through
+        # i64, which Mosaic rejects and whose narrowing conversion hits a
+        # trace-time recursion inside Pallas. All arrays here are 32-bit,
+        # so x64-off tracing is semantics-preserving.
+        from jax._src.config import enable_x64  # no public context manager
+
+        with enable_x64(False):
+            outs = call(*args)
+    else:
+        # 8-byte keys/values: x64 tracing required; works in interpret/CPU.
+        # On real TPU the X64 rewriter cannot pass 64-bit operands to
+        # custom calls, so fail loudly rather than opaquely.
+        if not interpret and jax.default_backend() == "tpu":
+            raise NotImplementedError(
+                "bitonic engine is limited to 4-byte keys/values on TPU "
+                "(64-bit pallas operands unsupported); use backend='tiled'"
+            )
+        outs = call(*args)
     out_k = outs[0].reshape(-1)[:n]
     out_v = tuple(o.reshape(-1)[:n] for o in outs[1:])
     return out_k, out_v

@@ -59,6 +59,20 @@ def _route(n: int, config: SortConfig, backend: str | None) -> str:
     return "tiled" if _on_tpu() else "reference"
 
 
+def _check_f64_on_tpu(keys) -> None:
+    """float64 keys cannot be sorted exactly on TPU: the X64 rewriter
+    represents f64 as a float32 pair (<53-bit mantissa, measured 1-ulp
+    output perturbation) and f64<->u64 bitcasts are unimplemented, so
+    neither the native comparator nor the total-order encoding is exact.
+    A sort that perturbs its keys is worse than an error."""
+    if keys.dtype == jnp.float64 and _on_tpu():
+        raise TypeError(
+            "float64 keys are not supported on the TPU backend (f64 is "
+            "emulated as a float32 pair there and would be perturbed); "
+            "sort float64 on CPU, or use float32/int64/uint64 keys"
+        )
+
+
 def _sort_encoded(enc, values, config: SortConfig, path: str):
     """Sort already-encoded unsigned keys via the selected engine."""
     if path == "tiled":
@@ -117,6 +131,7 @@ def sort(
     """
     if keys.ndim != 1:
         raise ValueError(f"sort expects 1-D keys, got shape {keys.shape}")
+    _check_f64_on_tpu(keys)
     path = _route(keys.shape[0], config, backend)
     enc = encode_keys(keys)
     out, _ = _sort_encoded(enc, None, config, path)
@@ -135,6 +150,7 @@ def sort_pairs(
         raise ValueError(
             f"sort_pairs expects matching 1-D arrays, got {keys.shape} / {values.shape}"
         )
+    _check_f64_on_tpu(keys)
     path = _route(keys.shape[0], config, backend)
     enc = encode_keys(keys)
     out_k, out_v = _sort_encoded(enc, values, config, path)

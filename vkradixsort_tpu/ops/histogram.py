@@ -79,17 +79,20 @@ def tile_histograms(
         enc = pad_to(enc, npad)
     num_tiles = npad // tile
     kernel = functools.partial(_hist_kernel, shift, tile // LANES)
+    # Index maps derive their zeros from the grid index (i - i) so they stay
+    # int32 under jax_enable_x64; literal 0 traces as i64 there and Mosaic
+    # fails to legalize the index-map return.
     grid_spec = pl.GridSpec(
         grid=(num_tiles // TILES_PER_STEP,),
         in_specs=[
             pl.BlockSpec(
                 (step // LANES, LANES),
-                lambda i: (i, 0),
+                lambda i: (i, i - i),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (TILES_PER_STEP, 16, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (TILES_PER_STEP, 16, 16), lambda i: (i, i - i, i - i), memory_space=pltpu.VMEM
         ),
     )
     out3 = pl.pallas_call(

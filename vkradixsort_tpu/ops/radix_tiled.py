@@ -64,7 +64,9 @@ def _dest_one_tile(x, base_row, shift):
     incl = oh
     k = 1
     while k < t:
-        sh = pltpu.roll(incl, k, 1)
+        # np.int32: a bare Python int shift traces as i64 under
+        # jax_enable_x64, which tpu.dynamic_rotate rejects.
+        sh = pltpu.roll(incl, np.int32(k), 1)
         li = jax.lax.broadcasted_iota(jnp.int32, (NUM_BINS, t), 1)
         incl = incl + jnp.where(li >= k, sh, 0.0)
         k *= 2
@@ -105,10 +107,10 @@ def pass_destinations(
     grid_spec = pl.GridSpec(
         grid=(npad // step,),
         in_specs=[
-            pl.BlockSpec((step // LANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILES_PER_STEP, NUM_BINS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((step // LANES, LANES), lambda i: (i, i - i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILES_PER_STEP, NUM_BINS), lambda i: (i, i - i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((step // LANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((step // LANES, LANES), lambda i: (i, i - i), memory_space=pltpu.VMEM),
     )
     dest = pl.pallas_call(
         kernel,

@@ -83,7 +83,9 @@ def _placement_kernel(
         dma = pltpu.make_async_copy(
             rows_ref.at[pl.ds(src, capw)],
             out_ref.at[pl.ds((b * pl.num_programs(0) + g) * capw, capw)],
-            sem.at[b],
+            # np.int32: a bare Python int index traces as i64 under
+            # jax_enable_x64, which tpu.memref_slice rejects.
+            sem.at[np.int32(b)],
         )
         dma.start()
         dmas.append(dma)
@@ -93,6 +95,15 @@ def _placement_kernel(
 
 def _place_runs(rows_flat, astarts, G: int, B: int, capw: int, interpret: bool):
     """flat sorted rows + (G, B) aligned starts -> (B, G, capw) slot tensor."""
+    if rows_flat.dtype.itemsize == 8:
+        # XLA's X64-rewriting pass cannot pass u64 operands to custom calls
+        # (pallas_call) on TPU; DMA moves bytes, so run the placement on a
+        # u32 view with element offsets doubled (alignment is preserved:
+        # 2 * k * ALIGN remains a multiple of ALIGN).
+        out32 = _place_runs(
+            rows_flat.view(jnp.uint32), astarts * 2, G, B, capw * 2, interpret
+        )
+        return out32.reshape(-1).view(rows_flat.dtype).reshape(B, G, capw)
     row_ext = rows_flat.shape[0] // G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -194,6 +194,13 @@ def sort_sharded(
     """
     num_shards = mesh.shape[axis_name]
     n = keys.shape[0]
+    if keys.dtype == jnp.float64 and any(
+        d.platform == "tpu" for d in mesh.devices.flat
+    ):
+        raise TypeError(
+            "float64 keys are not supported on TPU meshes (f64 is emulated "
+            "as a float32 pair there and would be perturbed)"
+        )
     if n % (num_shards * num_shards):
         raise ValueError(
             f"N={n} must be a multiple of P^2={num_shards**2} (interleave blocks)"
