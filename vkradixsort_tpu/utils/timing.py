@@ -83,35 +83,46 @@ def measure_pairs_seconds_per_call(
     keys: jnp.ndarray,
     values: jnp.ndarray,
     reps: int = 8,
+    min_window: float = 0.25,
 ) -> float:
-    """Like measure_seconds_per_call for key-value sorts."""
+    """Like measure_seconds_per_call for key-value sorts.
 
-    def chained(k, v):
-        def body(_, carry):
-            ck, cv = carry
-            ok, ov = f(ck, cv)
-            return (_remix(ok), ov)
+    Grows ``reps`` geometrically until the timed window stands clear of the
+    tunnel RTT jitter, exactly like the keys-only variant — without this,
+    sub-millisecond sorts measure as ~0.
+    """
 
-        out = jax.lax.fori_loop(0, reps, body, (k, v))
-        return out[0].reshape(-1)[0] + out[1].reshape(-1)[0]
+    def make(fn_body, reps):
+        def chained(k, v):
+            out = jax.lax.fori_loop(0, reps, fn_body, (k, v))
+            return out[0].reshape(-1)[0] + out[1].reshape(-1)[0]
 
-    def base(k, v):
-        def body(_, carry):
-            ck, cv = carry
-            return (_remix(ck), cv)
+        return jax.jit(chained)
 
-        out = jax.lax.fori_loop(0, reps, body, (k, v))
-        return out[0].reshape(-1)[0] + out[1].reshape(-1)[0]
+    def full_body(_, carry):
+        ck, cv = carry
+        ok, ov = f(ck, cv)
+        return (_remix(ok), ov)
 
-    cf = jax.jit(chained)
-    cb = jax.jit(base)
+    def base_body(_, carry):
+        ck, cv = carry
+        return (_remix(ck), cv)
 
     def run(fn):
         r = fn(keys, values)
         _ = np.asarray(r)
-        t0 = time.perf_counter()
-        r = fn(keys, values)
-        _ = np.asarray(r)
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _t in range(2):
+            t0 = time.perf_counter()
+            r = fn(keys, values)
+            _ = np.asarray(r)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    return max((run(cf) - run(cb)) / reps, 1e-9)
+    while True:
+        t_full = run(make(full_body, reps))
+        t_base = run(make(base_body, reps))
+        if t_full - t_base > min_window or reps >= 4096:
+            return max((t_full - t_base) / reps, 1e-9)
+        scale = max(2, int(min_window / max(t_full - t_base, 1e-3)))
+        reps = min(reps * scale, 4096)
