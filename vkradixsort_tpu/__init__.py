@@ -19,7 +19,7 @@ rather than hard-coded drivers):
     sort_sharded(keys, mesh, axis)  -> multi-device distributed sort
 """
 
-from vkradixsort_tpu.ops.dispatch import argsort, sort, sort_pairs
+from vkradixsort_tpu.ops.dispatch import argsort, sort, sort_pairs, sort_segments
 from vkradixsort_tpu.ops.common import (
     decode_keys,
     encode_keys,
@@ -34,6 +34,7 @@ __all__ = [
     "sort",
     "sort_pairs",
     "argsort",
+    "sort_segments",
     "encode_keys",
     "decode_keys",
     "sortable_dtype",

@@ -63,6 +63,13 @@ def encode_keys(keys: jnp.ndarray) -> jnp.ndarray:
         flipped = bits ^ np.asarray(1 << (dtype.itemsize * 8 - 1), bits.dtype)
         return flipped.astype(udt)
     if jnp.issubdtype(dtype, jnp.floating):
+        if dtype.itemsize == 2:
+            # float16 / bfloat16: same sign-flip trick on the 16-bit pattern,
+            # widened to the u32 sort domain.
+            bits = keys.view(jnp.uint16)
+            sign = bits >> np.uint16(15)
+            mask = jnp.where(sign == 1, np.uint16(0xFFFF), np.uint16(0x8000))
+            return (bits ^ mask).astype(jnp.uint32)
         if dtype.itemsize == 4:
             bits = keys.view(jnp.uint32)
             sign = bits >> np.uint32(31)
@@ -89,6 +96,11 @@ def decode_keys(encoded: jnp.ndarray, dtype) -> jnp.ndarray:
         bits = encoded.astype(narrow_u) ^ np.asarray(1 << (nbits - 1), narrow_u)
         return bits.view(dtype)
     if jnp.issubdtype(dtype, jnp.floating):
+        if dtype.itemsize == 2:
+            bits = encoded.astype(jnp.uint16)
+            sign = bits >> np.uint16(15)
+            mask = jnp.where(sign == 0, np.uint16(0xFFFF), np.uint16(0x8000))
+            return (bits ^ mask).view(dtype)
         if dtype.itemsize == 4:
             bits = encoded.astype(jnp.uint32)
             sign = bits >> np.uint32(31)

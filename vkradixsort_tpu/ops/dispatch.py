@@ -168,3 +168,34 @@ def argsort(
     idx = jnp.arange(keys.shape[0], dtype=idx_dtype)
     _, perm = sort_pairs(keys, idx, config=config, backend=backend)
     return perm
+
+
+def sort_segments(
+    keys: jnp.ndarray,
+    values: jnp.ndarray | None = None,
+):
+    """Sort every row of a 2-D array independently (batched segment sort).
+
+    This is the hardware's sweet spot: TPU runs the per-segment networks
+    lockstep across rows entirely in VMEM — measured ~5 G keys/s at segment
+    width 2048 on v5e, ~9x the flat large-N rate (BENCHMARKS.md). The
+    reference has no segmented entry point; it falls naturally out of the
+    TPU-first design and is the building block the distributed shuffle and
+    samplesort stages use internally.
+
+    Stable per row when ``values`` ride along. Returns ``sorted_keys`` or
+    ``(sorted_keys, permuted_values)``.
+    """
+    if keys.ndim != 2:
+        raise ValueError(f"sort_segments expects 2-D keys, got {keys.shape}")
+    _check_f64_on_tpu(keys)
+    from vkradixsort_tpu.ops import segsort
+
+    enc = encode_keys(keys)
+    s = segsort.to_signed_order(enc)
+    ops = (s,) if values is None else (s, values)
+    out = jax.lax.sort(ops, dimension=1, is_stable=values is not None, num_keys=1)
+    out_k = decode_keys(segsort.from_signed_order(out[0], enc.dtype), keys.dtype)
+    if values is None:
+        return out_k
+    return out_k, out[1]
