@@ -49,7 +49,16 @@ def sort_flat_u32(enc: jnp.ndarray, values: tuple = (), stable: bool = False):
 
 
 def sort_flat_u64(enc: jnp.ndarray, values: tuple = (), stable: bool = False):
-    """uint64 keys as two chained stable 32-bit-digit passes (LSD radix)."""
+    """uint64 keys: direct i64 sort when keys-only, else two chained stable
+    32-bit-digit passes (LSD radix).
+
+    Measured on v5e at 1e8: one i64 lax.sort ~497 ms vs ~950 ms for the
+    two-pass route, so keys-only takes the direct path; with payloads the
+    split passes win because each pass carries narrower operands.
+    """
+    if not values:
+        s = jax.lax.sort(to_signed_order(enc), dimension=0, is_stable=stable)
+        return from_signed_order(s, jnp.uint64), ()
     lo = (enc & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     hi = (enc >> np.uint64(32)).astype(jnp.uint32)
     # Pass 1: stable by low digit, carrying the high digit + payload.
