@@ -2,12 +2,13 @@
 
 Measured on TPU v5e (see BENCHMARKS.md): XLA's sort runs its fast path on
 SIGNED integers, and batched segment sorts are dramatically faster per key
-than one flat sort (seg=1024: ~3.8G keys/s, seg=2048: ~2.7G, flat 1e8:
-~0.29G). These wrappers put encoded (unsigned) keys into order-isomorphic
-int32/int64 space and expose flat, segmented, and 64-bit-via-two-stable-pass
-sorts. The 64-bit path IS an LSD radix structure: two stable passes over
-32-bit digits (the reference's ITERATIONS 4<->8 dichotomy,
-single_radixsort.comp:14, collapses to 1<->2 passes with 32-bit digits).
+than one flat sort (seg=2048: ~5.0G keys/s at 1e8 total, flat 1e8:
+0.56G). These wrappers put encoded (unsigned) keys into order-isomorphic
+int32/int64 space and expose flat and segmented sorts. 64-bit keys-only
+sorts go through one direct i64 sort; 64-bit key-value sorts use an LSD
+radix structure of two stable passes over 32-bit digits (the reference's
+ITERATIONS 4<->8 dichotomy, single_radixsort.comp:14, collapses to 1<->2
+passes with 32-bit digits).
 """
 
 from __future__ import annotations
@@ -37,6 +38,12 @@ def from_signed_order(s: jnp.ndarray, dtype) -> jnp.ndarray:
     raise TypeError(dtype)
 
 
+def sort_flat(enc: jnp.ndarray, stable: bool = False) -> jnp.ndarray:
+    """Keys-only flat sort of u32/u64-encoded keys via the signed fast path."""
+    s = jax.lax.sort(to_signed_order(enc), dimension=0, is_stable=stable)
+    return from_signed_order(s, enc.dtype)
+
+
 def sort_flat_u32(enc: jnp.ndarray, values: tuple = (), stable: bool = False):
     """Flat sort of uint32-encoded keys (+ values) via XLA's signed fast path."""
     ops = jax.lax.sort(
@@ -52,13 +59,13 @@ def sort_flat_u64(enc: jnp.ndarray, values: tuple = (), stable: bool = False):
     """uint64 keys: direct i64 sort when keys-only, else two chained stable
     32-bit-digit passes (LSD radix).
 
-    Measured on v5e at 1e8: one i64 lax.sort ~497 ms vs ~950 ms for the
+    Measured on v5e at 1e8: the direct i64 path runs 339 ms
+    (benchmarks/results/v5e_u64_keys_uniform.csv) vs ~950 ms for the
     two-pass route, so keys-only takes the direct path; with payloads the
     split passes win because each pass carries narrower operands.
     """
     if not values:
-        s = jax.lax.sort(to_signed_order(enc), dimension=0, is_stable=stable)
-        return from_signed_order(s, jnp.uint64), ()
+        return sort_flat(enc, stable=stable), ()
     lo = (enc & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     hi = (enc >> np.uint64(32)).astype(jnp.uint32)
     # Pass 1: stable by low digit, carrying the high digit + payload.

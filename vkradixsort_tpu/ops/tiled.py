@@ -6,10 +6,11 @@ multiradixsort/resources/shaders/*.comp). On TPU the same regime is served
 by two interchangeable backends:
 
   * ``sort_tiled`` (default): XLA's native sort driven in sign-flipped int
-    space (ops/segsort.py) — 1 pass for 32-bit keys, a 2-stable-pass LSD
-    radix over 32-bit digits for 64-bit keys. Measured fastest correct
-    large-N path on v5e (flat 1e8 u32: ~290M keys/s vs the reference GPU's
-    52.7M keys/s).
+    space (ops/segsort.py) — one direct sort for keys-only (u32 and u64
+    alike); a 2-stable-pass LSD radix over 32-bit digits for 64-bit
+    key-value sorts. Measured fastest correct large-N path on v5e (flat
+    1e8 u32: 560M keys/s vs the reference GPU's 52.7M keys/s —
+    BENCHMARKS.md).
   * ``ops/radix_tiled.py``: the explicit histogram -> hierarchical scan ->
     stable rank-and-scatter pipeline with Pallas kernels, structurally
     mirroring the reference's two-kernel-per-pass design. Slower on current
