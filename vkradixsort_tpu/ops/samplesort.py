@@ -212,6 +212,8 @@ def sort_samplesort(
     n = enc.shape[0]
     if n >= (1 << 31):
         raise NotImplementedError("samplesort needs n < 2^31 (int32 offsets)")
+    if n == 0:
+        return enc
     G, C, B, cap = _pick_geometry(n, tile_target, bucket_target, slack)
     capw = round_up(cap + ALIGN, ALIGN)  # slot width incl. alignment slop
     row_ext = round_up(C + capw, ALIGN)
