@@ -140,7 +140,14 @@ def bitonic_sort_block(
     entirely in VMEM; returns (sorted_keys, sorted_values_tuple).
 
     ``keys`` must be an integer dtype whose natural order is the sort order.
+
+    With ``values``, the sort is always index-tiebroken (``stable`` is
+    implied): the padding sentinel is the key dtype's max, so a real max-key
+    pair would otherwise be interchangeable with padding in the key-only
+    network and could surrender its payload slot to a padding zero.
     """
+    if values:
+        stable = True
     n = keys.shape[0]
     npad = 1 << max(int(np.ceil(np.log2(max(n, LANES * 8)))), 0)
     nlog = int(np.log2(npad))

@@ -210,14 +210,16 @@ def sort_samplesort(
     tiled engine (ops/tiled.py), which this pipeline does not serve.
     """
     n = enc.shape[0]
-    if n >= (1 << 31):
-        raise NotImplementedError("samplesort needs n < 2^31 (int32 offsets)")
     if n == 0:
         return enc
     G, C, B, cap = _pick_geometry(n, tile_target, bucket_target, slack)
     capw = round_up(cap + ALIGN, ALIGN)  # slot width incl. alignment slop
     row_ext = round_up(C + capw, ALIGN)
     npad = G * C
+    # The PADDED size is what the int32 offset arithmetic (obase cumsum,
+    # dynamic_update_slice offsets) must represent, not just n.
+    if npad >= (1 << 31):
+        raise NotImplementedError("samplesort needs padded size < 2^31 (int32 offsets)")
     W = G * capw
     sentinel = pad_sentinel(enc.dtype)
 

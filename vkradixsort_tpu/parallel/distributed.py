@@ -23,14 +23,14 @@ Stability: pieces arrive ordered by source shard and are locally
 key-stable, so the pre-final-sort concat order equals the original global
 order among equal keys; the final stable sort preserves it.
 
-Overflow: a bucket larger than cap cannot be represented; the kernel
-returns a per-shard overflow flag. ``sort_sharded`` checks it and the
-caller can retry with a larger ``slack`` (see ``checked`` argument).
+Overflow: a bucket larger than cap cannot be represented; ``sort_sharded``
+returns a per-shard overflow flag as part of its result and the CALLER must
+check it (it is a traced value) and retry with a larger ``slack`` /
+``oversample`` if any entry is set.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax
@@ -48,7 +48,6 @@ def _partition_fn(
     num_shards: int,
     cap: int,
     oversample: int,
-    nv: int,
 ):
     """The per-shard shard_map body. Operates on encoded uint32/64 keys."""
 
@@ -98,14 +97,11 @@ def _partition_fn(
         splitters_g = sg[step::step][: num_shards - 1]
 
         # 3. Composite bucket boundaries in the sorted shard:
-        # count of (key, gidx) < (splitter, splitter_gidx).
-        lo = jnp.searchsorted(k_sorted, splitters, side="left").astype(jnp.int32)
-        hi = jnp.searchsorted(k_sorted, splitters, side="right").astype(jnp.int32)
-        j = jnp.arange(n, dtype=jnp.int32)[:, None]  # (n, 1)
-        in_run = (j >= lo[None, :]) & (j < hi[None, :])  # (n, P-1)
-        lt_g = gidx_s[:, None] < splitters_g[None, :]
-        ties_below = jnp.sum(in_run & lt_g, axis=0).astype(jnp.int32)
-        bounds = lo + ties_below
+        # count of (key, gidx) < (splitter, splitter_gidx). The shard is
+        # sorted lexicographically by exactly that composite, so a direct
+        # O(P log n) vectorized bisection does it (an (n, P) materialized
+        # tie matrix would be O(n*P) memory — prohibitive at scale).
+        bounds = _composite_searchsorted(k_sorted, gidx_s, splitters, splitters_g)
         starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds])
         ends = jnp.concatenate([bounds, jnp.full((1,), n, jnp.int32)])
         lens = ends - starts
@@ -113,9 +109,18 @@ def _partition_fn(
 
         # 4. Static-shape send buffers: slice cap elements per bucket from a
         # sentinel-extended buffer (no dynamic-slice clamping artifacts).
+        # Padding fill for the gidx carry is INT32_MAX, NOT 0: the receiver
+        # sorts by (key, gidx), and a real key can equal the key sentinel
+        # (e.g. uint32 max / INT32_MAX input keys). gidx-max makes padding
+        # sort strictly AFTER every real pair inside a sentinel-key run, so
+        # such pairs keep their payloads.
         vs = [gidx_s] + vs
+        fills = [np.int32(np.iinfo(np.int32).max)] + [0] * (len(vs) - 1)
         k_ext = jnp.concatenate([k_sorted, jnp.full((cap,), sentinel, enc.dtype)])
-        v_exts = [jnp.concatenate([v, jnp.zeros((cap,), v.dtype)]) for v in vs]
+        v_exts = [
+            jnp.concatenate([v, jnp.full((cap,), fill, v.dtype)])
+            for v, fill in zip(vs, fills)
+        ]
         jpos = jnp.arange(cap, dtype=jnp.int32)[None, :]  # (1, cap)
         send_k = jnp.stack(
             [jax.lax.dynamic_slice(k_ext, (starts[p],), (cap,)) for p in range(num_shards)]
@@ -131,9 +136,9 @@ def _partition_fn(
                         for p in range(num_shards)
                     ]
                 ),
-                0,
+                fill,
             )
-            for v_ext in v_exts
+            for v_ext, fill in zip(v_exts, fills)
         ]
 
         # 5. One all-to-all over the mesh axis; then the tiebreak local sort.
@@ -151,6 +156,32 @@ def _partition_fn(
         return (out_k, count.reshape(1), overflow.reshape(1)) + tuple(out_vs)
 
     return fn
+
+
+def _composite_searchsorted(k_sorted, g_sorted, qk, qg):
+    """Count of pairs (k, g) lexicographically < (qk, qg), vectorized over
+    the queries. ``(k_sorted, g_sorted)`` must be lexicographically sorted
+    (which ``_idx_sort`` guarantees). O(|q| log n) time, O(|q|) memory."""
+    n = k_sorted.shape[0]
+    lo = jnp.zeros(qk.shape, jnp.int32)
+    hi = jnp.full(qk.shape, n, jnp.int32)
+    steps = int(np.ceil(np.log2(max(n, 2)))) + 1
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        safe = jnp.minimum(mid, n - 1)
+        mk = jnp.take(k_sorted, safe)
+        mg = jnp.take(g_sorted, safe)
+        lt = (mk < qk) | ((mk == qk) & (mg < qg))
+        active = lo < hi
+        return (
+            jnp.where(active & lt, mid + 1, lo),
+            jnp.where(active & ~lt, mid, hi),
+        )
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
 
 
 def _idx_sort(enc, gidx, values: Sequence[jnp.ndarray]):
@@ -185,12 +216,14 @@ def sort_sharded(
 ):
     """Distributed stable sort of a 1-D array sharded over ``axis_name``.
 
-    Returns ``(padded_keys, counts[, padded_values])``: shard d of
+    Returns ``(padded_keys, counts, overflow[, padded_values])``: shard d of
     ``padded_keys`` holds the d-th contiguous range of the globally sorted
     order in its first ``counts[d]`` slots, sentinel-padded after (padding
     decodes to dtype-max for uints / NaN-ish max for floats — strip with
-    ``gather_sorted``). Keys may be any supported key dtype; ``values``
-    ride along unchanged. Skewed inputs: raise ``oversample``/``slack``.
+    ``gather_sorted``). ``overflow`` is a per-shard flag the caller MUST
+    check: if any entry is set, a bucket exceeded its static capacity and
+    the output is truncated — retry with larger ``slack``/``oversample``.
+    Keys may be any supported key dtype; ``values`` ride along unchanged.
     """
     num_shards = mesh.shape[axis_name]
     n = keys.shape[0]
@@ -212,7 +245,7 @@ def sort_sharded(
 
     enc = encode_keys(keys)
     vals = () if values is None else (values,)
-    fn = _partition_fn(axis_name, num_shards, cap, oversample, len(vals))
+    fn = _partition_fn(axis_name, num_shards, cap, oversample)
     spec = P(axis_name)
     out_specs = (spec, spec, spec) + tuple(spec for _ in vals)
     mapped = jax.shard_map(
