@@ -24,15 +24,12 @@ keys from ``common.encode_keys`` + sign flip, or any signed/unsigned ints).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vkradixsort_tpu.ops.common import round_up
 
 LANES = 128
 
