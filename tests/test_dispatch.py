@@ -38,11 +38,14 @@ def test_sort_pairs_engines_stable(rng, engine):
     np.testing.assert_array_equal(np.asarray(ov), perm.astype(np.uint32))
 
 
-def test_samplesort_rejects_values(rng):
-    k = jnp.asarray(make_keys(rng, 1024, np.uint32, "uniform"))
-    with pytest.raises(NotImplementedError):
-        vk.sort_pairs(k, jnp.arange(1024, dtype=jnp.uint32),
-                      config=CFG, backend="samplesort")
+def test_samplesort_pairs_via_dispatch(rng):
+    k = make_keys(rng, 70_000, np.uint32, "uniform") % 1009
+    v = np.arange(1, 70_001, dtype=np.uint32)
+    ok, ov = vk.sort_pairs(jnp.asarray(k), jnp.asarray(v),
+                           config=CFG, backend="samplesort")
+    perm = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok), k[perm])
+    np.testing.assert_array_equal(np.asarray(ov), v[perm])
 
 
 def test_unknown_backend_raises(rng):

@@ -93,3 +93,47 @@ def test_pick_geometry_shapes():
     assert 8 <= B <= 128
     # slot capacity must cover an even spread with slack
     assert cap * B >= C
+
+
+@pytest.mark.parametrize("distribution", ["uniform", "zipf", "constant"])
+def test_samplesort_pairs_stable(rng, distribution):
+    from vkradixsort_tpu.ops.samplesort import sort_pairs_samplesort
+    from vkradixsort_tpu.ops.common import encode_keys
+
+    k = make_keys(rng, 120_000, np.uint32, distribution) % 997  # heavy ties
+    v = np.arange(1, k.size + 1, dtype=np.uint32)
+    ok, ov = sort_pairs_samplesort(
+        jnp.asarray(k), jnp.asarray(v), tile_target=1 << 15,
+        bucket_target=1 << 14, interpret=INTERPRET,
+    )
+    perm = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok), k[perm])
+    np.testing.assert_array_equal(np.asarray(ov), v[perm])
+
+
+def test_samplesort_pairs_sentinel_keys(rng):
+    from vkradixsort_tpu.ops.samplesort import sort_pairs_samplesort
+
+    k = make_keys(rng, 65_536, np.uint32, "uniform")
+    k[::9] = np.uint32(0xFFFFFFFF)
+    v = np.arange(1, k.size + 1, dtype=np.uint32)
+    ok, ov = sort_pairs_samplesort(
+        jnp.asarray(k), jnp.asarray(v), tile_target=1 << 15,
+        bucket_target=1 << 14, interpret=INTERPRET,
+    )
+    perm = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ov), v[perm])
+
+
+def test_samplesort_pairs_overflow_fallback(rng):
+    from vkradixsort_tpu.ops.samplesort import sort_pairs_samplesort
+
+    k = make_keys(rng, 60_000, np.uint32, "zipf")
+    v = np.arange(k.size, dtype=np.uint32)
+    ok, ov = sort_pairs_samplesort(
+        jnp.asarray(k), jnp.asarray(v), tile_target=1 << 14,
+        bucket_target=1 << 12, oversample=1, slack=1.01, interpret=INTERPRET,
+    )
+    perm = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok), k[perm])
+    np.testing.assert_array_equal(np.asarray(ov), perm.astype(np.uint32))

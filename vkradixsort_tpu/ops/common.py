@@ -149,3 +149,31 @@ def pad_to(keys: jnp.ndarray, n_padded: int) -> jnp.ndarray:
     return jnp.concatenate(
         [keys, jnp.full((n_padded - n,), pad_sentinel(keys.dtype), keys.dtype)]
     )
+
+
+def composite_searchsorted(k_sorted, g_sorted, qk, qg):
+    """Count of pairs (k, g) lexicographically < (qk, qg), vectorized over
+    the queries. ``(k_sorted, g_sorted)`` must be lexicographically sorted.
+    O(|q| log n) time, O(|q|) memory — used for composite (key, position)
+    bucket boundaries where materializing an (n, |q|) tie matrix would be
+    prohibitive."""
+    n = k_sorted.shape[0]
+    lo = jnp.zeros(qk.shape, jnp.int32)
+    hi = jnp.full(qk.shape, n, jnp.int32)
+    steps = int(np.ceil(np.log2(max(n, 2)))) + 1
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        safe = jnp.minimum(mid, n - 1)
+        mk = jnp.take(k_sorted, safe)
+        mg = jnp.take(g_sorted, safe)
+        lt = (mk < qk) | ((mk == qk) & (mg < qg))
+        active = lo < hi
+        return (
+            jnp.where(active & lt, mid + 1, lo),
+            jnp.where(active & ~lt, mid, hi),
+        )
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo

@@ -17,8 +17,8 @@ regime split is a dispatcher: one public ``sort`` / ``sort_pairs`` /
                 digit passes, one kernel)      parity path — minutes to compile,
                                                never routed implicitly
   "samplesort"  multi_radixsort's histogram/   splitter partition + Pallas DMA
-                scatter pipeline, re-designed  placement; basis of the
-                around bulk DMA                distributed shuffle
+                scatter pipeline, re-designed  placement (keys and stable kv);
+                around bulk DMA                basis of the distributed shuffle
   "radix_tiled" multi_radixsort histogram +    explicit per-digit histogram/
                 scan + rank/scatter            scan/rank pipeline (Pallas)
   "reference"   the CPU std::sort oracle       pure-jnp radix sort, any backend
@@ -96,13 +96,12 @@ def _sort_encoded(enc, values, config: SortConfig, path: str):
     if path == "samplesort":
         from vkradixsort_tpu.ops import samplesort
 
-        if values is not None:
-            raise NotImplementedError(
-                "samplesort is a keys-only engine (duplicate keys are "
-                "interchangeable); use backend='tiled' for key-value sorts"
-            )
-        out = samplesort.sort_samplesort(enc, interpret=config.interpret)
-        return out, None
+        if values is None:
+            out = samplesort.sort_samplesort(enc, interpret=config.interpret)
+            return out, None
+        return samplesort.sort_pairs_samplesort(
+            enc, values, interpret=config.interpret
+        )
     if path == "radix_tiled":
         from vkradixsort_tpu.ops import radix_tiled
 

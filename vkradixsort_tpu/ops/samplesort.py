@@ -37,8 +37,10 @@ possible when the splitter sample badly mispredicts the distribution) is
 detected and the whole sort falls back to one flat XLA sort via
 ``lax.cond``, so the result is always exact.
 
-Keys-only by design: duplicate keys are interchangeable, which both the
-equal-run balancing and the sentinel masking exploit. Requires n < 2^31
+The keys-only path exploits duplicate-key interchangeability (equal-run
+balancing, sentinel masking); the key-value path (`sort_pairs_samplesort`)
+instead carries original positions as a composite sort key, which makes
+every element distinct and the result stable. Requires padded size < 2^31
 (int32 offset arithmetic; the multi-chip layer shards well before that).
 """
 
@@ -53,7 +55,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vkradixsort_tpu.ops import segsort
-from vkradixsort_tpu.ops.common import cdiv, pad_sentinel, pad_to, round_up
+from vkradixsort_tpu.ops.common import (
+    cdiv,
+    composite_searchsorted,
+    pad_sentinel,
+    pad_to,
+    round_up,
+)
 
 LANES = 128
 ALIGN = 1024  # HBM 1-D memref tiling: DMA offsets/sizes must be multiples
@@ -206,8 +214,8 @@ def sort_samplesort(
 ) -> jnp.ndarray:
     """Sort encoded (unsigned) keys; returns sorted keys of the same length.
 
-    Keys-only (duplicates interchangeable). For key-value pairs use the
-    tiled engine (ops/tiled.py), which this pipeline does not serve.
+    Keys-only (duplicates interchangeable); key-value pairs go through
+    :func:`sort_pairs_samplesort`, which carries positions for stability.
     """
     n = enc.shape[0]
     if n == 0:
@@ -270,4 +278,142 @@ def sort_samplesort(
         lambda args: fallback(args[0]),
         pipeline,
         (rows_sorted, starts, lens),
+    )
+
+
+_GMAX = np.int32(np.iinfo(np.int32).max)
+
+
+def sort_pairs_samplesort(
+    enc: jnp.ndarray,
+    values: jnp.ndarray,
+    *,
+    tile_target: int = 1 << 21,
+    bucket_target: int = 1 << 21,
+    oversample: int = 32,
+    slack: float = 1.35,
+    interpret: bool = False,
+):
+    """Stable key-value sample sort of encoded (unsigned) keys.
+
+    Same pipeline as :func:`sort_samplesort` but every element carries its
+    original position ``gidx`` through the stages (the stability mechanism,
+    mirroring parallel/distributed.py):
+
+      * rows sort lexicographically by (key, gidx) with the payload as a
+        third operand — composites are DISTINCT, so splitter boundaries need
+        no equal-run balancing and a composite bisection finds them exactly;
+      * placement DMAs all three planes with the same run starts;
+      * masking sets keys to the sentinel AND gidx to INT32_MAX outside each
+        slot's valid window, so garbage sorts strictly after every real pair
+        even when real keys equal the key sentinel;
+      * bucket sort is (key, gidx)-lexicographic; the valid prefix is exact.
+    """
+    n = enc.shape[0]
+    if n == 0:
+        return enc, values
+    G, C, B, cap = _pick_geometry(n, tile_target, bucket_target, slack)
+    capw = round_up(cap + ALIGN, ALIGN)
+    row_ext = round_up(C + capw, ALIGN)
+    npad = G * C
+    if npad >= (1 << 31):
+        raise NotImplementedError("samplesort needs padded size < 2^31 (int32 offsets)")
+    W = G * capw
+    sentinel = pad_sentinel(enc.dtype)
+
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
+    keys_p = pad_to(enc, npad).reshape(G, C)
+    gidx_p = jnp.concatenate(
+        [gidx, jnp.full((npad - n,), _GMAX, jnp.int32)]
+    ).reshape(G, C) if npad != n else gidx.reshape(G, C)
+    vals_p = jnp.concatenate(
+        [values, jnp.zeros((npad - n,), values.dtype)]
+    ).reshape(G, C) if npad != n else values.reshape(G, C)
+
+    def rowsort(carry, row):
+        rk, rg, rv = row
+        out = jax.lax.sort(
+            (segsort.to_signed_order(rk), rg, rv), dimension=0, num_keys=2
+        )
+        return carry, (segsort.from_signed_order(out[0], enc.dtype), out[1], out[2])
+
+    _, (k_rows, g_rows, v_rows) = jax.lax.scan(
+        rowsort, jnp.int32(0), (keys_p, gidx_p, vals_p)
+    )
+
+    # Composite splitters from regular quantile samples.
+    num_s = oversample * B
+    pos = (jnp.arange(num_s, dtype=jnp.int32) * C) // num_s + C // (2 * num_s)
+    sk = k_rows[:, pos].reshape(-1)
+    sg = g_rows[:, pos].reshape(-1)
+    s_sorted = jax.lax.sort(
+        (segsort.to_signed_order(sk), sg), dimension=0, num_keys=2
+    )
+    step = sk.shape[0] // B
+    spl_k = segsort.from_signed_order(s_sorted[0], enc.dtype)[step::step][: B - 1]
+    spl_g = s_sorted[1][step::step][: B - 1]
+
+    bounds = jax.vmap(
+        lambda rk, rg: composite_searchsorted(rk, rg, spl_k, spl_g)
+    )(k_rows, g_rows)  # (G, B-1)
+    zeros = jnp.zeros((G, 1), jnp.int32)
+    starts = jnp.concatenate([zeros, bounds], axis=1)
+    ends = jnp.concatenate([bounds, jnp.full((G, 1), C, jnp.int32)], axis=1)
+    lens = ends - starts
+    overflow = jnp.any(lens > cap)
+
+    def fallback(args):
+        k_rows, g_rows, v_rows, _, _ = args
+        if enc.dtype == jnp.uint32:
+            out_k, (out_v,) = segsort.sort_flat_u32(enc, (values,), stable=True)
+        else:
+            out_k, (out_v,) = segsort.sort_flat_u64(enc, (values,), stable=True)
+        return out_k, out_v
+
+    def pipeline(args):
+        k_rows, g_rows, v_rows, starts, lens = args
+        astarts = (starts // ALIGN) * ALIGN
+        pre = starts - astarts
+
+        def place(rows2d, fill):
+            flat = jnp.pad(
+                rows2d, ((0, 0), (0, row_ext - C)), constant_values=fill
+            ).reshape(-1)
+            return _place_runs(flat, astarts, G, B, capw, interpret)
+
+        slots_k = place(k_rows, sentinel)
+        slots_g = place(g_rows, _GMAX)
+        slots_v = place(v_rows, 0)
+
+        j = jax.lax.broadcasted_iota(jnp.int32, (B, G, capw), 2)
+        preT = pre.T[:, :, None]
+        lensT = lens.T[:, :, None]
+        valid = (j >= preT) & (j < preT + lensT)
+        slots_k = jnp.where(valid, slots_k, sentinel).reshape(B, W)
+        slots_g = jnp.where(valid, slots_g, _GMAX).reshape(B, W)
+        slots_v = slots_v.reshape(B, W)  # garbage values sort past L[b]
+
+        L = jnp.sum(lens, axis=0).astype(jnp.int32)
+        obase = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(L)[:-1].astype(jnp.int32)]
+        )
+        slots_ks = segsort.to_signed_order(slots_k)
+
+        def body(b, outs):
+            out_k, out_v = outs
+            rk = jax.lax.dynamic_slice(slots_ks, (b, 0), (1, W))[0]
+            rg = jax.lax.dynamic_slice(slots_g, (b, 0), (1, W))[0]
+            rv = jax.lax.dynamic_slice(slots_v, (b, 0), (1, W))[0]
+            srt = jax.lax.sort((rk, rg, rv), dimension=0, num_keys=2)
+            out_k = jax.lax.dynamic_update_slice(out_k, srt[0], (obase[b],))
+            out_v = jax.lax.dynamic_update_slice(out_v, srt[2], (obase[b],))
+            return (out_k, out_v)
+
+        out_k0 = jnp.zeros((npad + W,), slots_ks.dtype)
+        out_v0 = jnp.zeros((npad + W,), values.dtype)
+        out_k, out_v = jax.lax.fori_loop(0, B, body, (out_k0, out_v0))
+        return segsort.from_signed_order(out_k[:n], enc.dtype), out_v[:n]
+
+    return jax.lax.cond(
+        overflow, fallback, pipeline, (k_rows, g_rows, v_rows, starts, lens)
     )

@@ -38,7 +38,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from vkradixsort_tpu.ops import segsort
-from vkradixsort_tpu.ops.common import decode_keys, encode_keys, pad_sentinel
+from vkradixsort_tpu.ops.common import (
+    composite_searchsorted,
+    decode_keys,
+    encode_keys,
+    pad_sentinel,
+)
 
 P = jax.sharding.PartitionSpec
 
@@ -101,7 +106,7 @@ def _partition_fn(
         # sorted lexicographically by exactly that composite, so a direct
         # O(P log n) vectorized bisection does it (an (n, P) materialized
         # tie matrix would be O(n*P) memory — prohibitive at scale).
-        bounds = _composite_searchsorted(k_sorted, gidx_s, splitters, splitters_g)
+        bounds = composite_searchsorted(k_sorted, gidx_s, splitters, splitters_g)
         starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds])
         ends = jnp.concatenate([bounds, jnp.full((1,), n, jnp.int32)])
         lens = ends - starts
@@ -156,32 +161,6 @@ def _partition_fn(
         return (out_k, count.reshape(1), overflow.reshape(1)) + tuple(out_vs)
 
     return fn
-
-
-def _composite_searchsorted(k_sorted, g_sorted, qk, qg):
-    """Count of pairs (k, g) lexicographically < (qk, qg), vectorized over
-    the queries. ``(k_sorted, g_sorted)`` must be lexicographically sorted
-    (which ``_idx_sort`` guarantees). O(|q| log n) time, O(|q|) memory."""
-    n = k_sorted.shape[0]
-    lo = jnp.zeros(qk.shape, jnp.int32)
-    hi = jnp.full(qk.shape, n, jnp.int32)
-    steps = int(np.ceil(np.log2(max(n, 2)))) + 1
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = (lo + hi) // 2
-        safe = jnp.minimum(mid, n - 1)
-        mk = jnp.take(k_sorted, safe)
-        mg = jnp.take(g_sorted, safe)
-        lt = (mk < qk) | ((mk == qk) & (mg < qg))
-        active = lo < hi
-        return (
-            jnp.where(active & lt, mid + 1, lo),
-            jnp.where(active & ~lt, mid, hi),
-        )
-
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
-    return lo
 
 
 def _idx_sort(enc, gidx, values: Sequence[jnp.ndarray]):
