@@ -98,14 +98,16 @@ def test_pick_geometry_shapes():
 @pytest.mark.parametrize("distribution", ["uniform", "zipf", "constant"])
 def test_samplesort_pairs_stable(rng, distribution):
     from vkradixsort_tpu.ops.samplesort import sort_pairs_samplesort
-    from vkradixsort_tpu.ops.common import encode_keys
 
     k = make_keys(rng, 120_000, np.uint32, distribution) % 997  # heavy ties
     v = np.arange(1, k.size + 1, dtype=np.uint32)
-    ok, ov = sort_pairs_samplesort(
+    ok, ov, overflow = sort_pairs_samplesort(
         jnp.asarray(k), jnp.asarray(v), tile_target=1 << 15,
-        bucket_target=1 << 14, interpret=INTERPRET,
+        bucket_target=1 << 14, interpret=INTERPRET, _debug_overflow=True,
     )
+    # the PIPELINE (not the flat fallback) must handle ties/skew: the
+    # strided interleave spreads tie runs evenly across rows
+    assert not bool(overflow), "kv pipeline fell back — interleave regressed"
     perm = np.argsort(k, kind="stable")
     np.testing.assert_array_equal(np.asarray(ok), k[perm])
     np.testing.assert_array_equal(np.asarray(ov), v[perm])
@@ -122,6 +124,7 @@ def test_samplesort_pairs_sentinel_keys(rng):
         bucket_target=1 << 14, interpret=INTERPRET,
     )
     perm = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok), k[perm])
     np.testing.assert_array_equal(np.asarray(ov), v[perm])
 
 

@@ -293,6 +293,7 @@ def sort_pairs_samplesort(
     oversample: int = 32,
     slack: float = 1.35,
     interpret: bool = False,
+    _debug_overflow: bool = False,
 ):
     """Stable key-value sample sort of encoded (unsigned) keys.
 
@@ -308,10 +309,28 @@ def sort_pairs_samplesort(
         slot's valid window, so garbage sorts strictly after every real pair
         even when real keys equal the key sentinel;
       * bucket sort is (key, gidx)-lexicographic; the valid prefix is exact.
+
+    Rows are assigned by STRIDED interleave (element i -> row i % G), not
+    contiguous chunks: the composite orders ties by original position, so a
+    heavily repeated key would otherwise fill whole contiguous rows and
+    overflow any sub-row bucket cap deterministically (the on-chip analog of
+    parallel/distributed.py's block-interleave reshard). With interleaving,
+    every row holds an even share of each tie run. Stability is untouched —
+    it rides the explicit gidx, not the layout.
     """
     n = enc.shape[0]
     if n == 0:
         return enc, values
+    if values.dtype.itemsize < 4:
+        raise TypeError(
+            f"samplesort values must be 4- or 8-byte typed (DMA tiling), "
+            f"got {values.dtype}; widen the payload (e.g. to float32/int32)"
+        )
+    if values.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        raise TypeError(
+            "float64 values are not supported on TPU (f64 bitcasts are "
+            "unimplemented by the X64 rewriter); use int64 bit patterns"
+        )
     G, C, B, cap = _pick_geometry(n, tile_target, bucket_target, slack)
     capw = round_up(cap + ALIGN, ALIGN)
     row_ext = round_up(C + capw, ALIGN)
@@ -321,14 +340,22 @@ def sort_pairs_samplesort(
     W = G * capw
     sentinel = pad_sentinel(enc.dtype)
 
+    def interleave(flat):
+        # element i -> (row i % G, col i // G); padded tail spreads too
+        return flat.reshape(C, G).T
+
     gidx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
-    keys_p = pad_to(enc, npad).reshape(G, C)
-    gidx_p = jnp.concatenate(
-        [gidx, jnp.full((npad - n,), _GMAX, jnp.int32)]
-    ).reshape(G, C) if npad != n else gidx.reshape(G, C)
-    vals_p = jnp.concatenate(
-        [values, jnp.zeros((npad - n,), values.dtype)]
-    ).reshape(G, C) if npad != n else values.reshape(G, C)
+    keys_p = interleave(pad_to(enc, npad))
+    gidx_p = interleave(
+        jnp.concatenate([gidx, jnp.full((npad - n,), _GMAX, jnp.int32)])
+        if npad != n
+        else gidx
+    )
+    vals_p = interleave(
+        jnp.concatenate([values, jnp.zeros((npad - n,), values.dtype)])
+        if npad != n
+        else values
+    )
 
     def rowsort(carry, row):
         rk, rg, rv = row
@@ -414,6 +441,9 @@ def sort_pairs_samplesort(
         out_k, out_v = jax.lax.fori_loop(0, B, body, (out_k0, out_v0))
         return segsort.from_signed_order(out_k[:n], enc.dtype), out_v[:n]
 
-    return jax.lax.cond(
+    out = jax.lax.cond(
         overflow, fallback, pipeline, (k_rows, g_rows, v_rows, starts, lens)
     )
+    if _debug_overflow:  # test hook: expose whether the fallback fired
+        return out + (overflow,)
+    return out
