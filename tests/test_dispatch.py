@@ -67,8 +67,87 @@ def test_default_route_off_tpu(rng):
         np.testing.assert_array_equal(out, np.sort(k))
 
 
+def test_sort_descending_exact(rng):
+    for dtype in [np.uint32, np.int32, np.float32]:
+        k = make_keys(rng, 4_096, np.dtype(dtype).newbyteorder("="), "uniform")
+        out = np.asarray(vk.sort(jnp.asarray(k), config=CFG, descending=True))
+        np.testing.assert_array_equal(out, np.sort(k)[::-1])
+
+
+def test_sort_pairs_descending_stable(rng):
+    # Stable descending: ties keep ORIGINAL input order (a [::-1] of the
+    # ascending result would reverse ties too). Expected permutation is the
+    # stable argsort of the bit-complemented keys.
+    k = make_keys(rng, 8_192, np.uint32, "uniform") % 97
+    v = np.arange(k.size, dtype=np.uint32)
+    ok, ov = vk.sort_pairs(jnp.asarray(k), jnp.asarray(v), config=CFG, descending=True)
+    perm = np.argsort(~k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok), k[perm])
+    np.testing.assert_array_equal(np.asarray(ov), perm.astype(np.uint32))
+    agot = np.asarray(vk.argsort(jnp.asarray(k), config=CFG, descending=True))
+    np.testing.assert_array_equal(agot, perm.astype(np.uint32))
+
+
+def test_sort_segments_descending(rng):
+    k = make_keys(rng, 8_192, np.uint32, "uniform").reshape(8, 1024) % 997
+    v = np.tile(np.arange(1024, dtype=np.uint32), (8, 1))
+    ok, ov = vk.sort_segments(jnp.asarray(k), jnp.asarray(v), descending=True)
+    for r in range(8):
+        perm = np.argsort(~k[r], kind="stable")
+        np.testing.assert_array_equal(np.asarray(ok)[r], k[r][perm])
+        np.testing.assert_array_equal(np.asarray(ov)[r], perm.astype(np.uint32))
+
+
+def test_sort_pairs_multi_payload(rng):
+    # Several payload planes of different dtypes ride one stable key sort.
+    k = make_keys(rng, 8_192, np.uint32, "uniform") % 211
+    v1 = np.arange(k.size, dtype=np.uint32)
+    v2 = rng.standard_normal(k.size).astype(np.float32)
+    v3 = (k % 7).astype(np.int32)
+    perm = np.argsort(k, kind="stable")
+    for engine in ["tiled", "bitonic", "reference"]:
+        ok, (o1, o2, o3) = vk.sort_pairs(
+            jnp.asarray(k),
+            (jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(v3)),
+            config=CFG,
+            backend=engine,
+        )
+        np.testing.assert_array_equal(np.asarray(ok), k[perm], err_msg=engine)
+        np.testing.assert_array_equal(np.asarray(o1), v1[perm], err_msg=engine)
+        np.testing.assert_array_equal(np.asarray(o2), v2[perm], err_msg=engine)
+        np.testing.assert_array_equal(np.asarray(o3), v3[perm], err_msg=engine)
+
+
+def test_sort_pairs_multi_payload_single_plane_engines(rng):
+    k = jnp.asarray(make_keys(rng, 4_096, np.uint32, "uniform"))
+    v = jnp.arange(4_096, dtype=jnp.uint32)
+    with pytest.raises(NotImplementedError, match="single payload"):
+        vk.sort_pairs(k, (v, v), config=CFG, backend="samplesort")
+
+
 def test_argsort_stable_all_engines(rng):
     k = make_keys(rng, 4_096, np.uint32, "uniform") % 13
     for engine in ["tiled", "bitonic", "reference"]:
         perm = np.asarray(vk.argsort(jnp.asarray(k), config=CFG, backend=engine))
         np.testing.assert_array_equal(perm, np.argsort(k, kind="stable"))
+
+
+def test_argsort_packed_fast_path(rng):
+    # backend="tiled" + x64 on (conftest) + 32-bit-encoded keys hits the
+    # packed (key<<32 | position) i64 fast path; heavy ties prove the
+    # position tiebreak delivers the STABLE permutation, and float32 keys
+    # prove it composes with the total-order encoding.
+    k = make_keys(rng, 50_000, np.uint32, "uniform") % 7
+    perm = np.asarray(vk.argsort(jnp.asarray(k), config=CFG, backend="tiled"))
+    np.testing.assert_array_equal(perm, np.argsort(k, kind="stable"))
+
+    kf = rng.standard_normal(50_000).astype(np.float32)
+    kf[::17] = kf[0]  # ties
+    permf = np.asarray(vk.argsort(jnp.asarray(kf), config=CFG, backend="tiled"))
+    np.testing.assert_array_equal(permf, np.argsort(kf, kind="stable"))
+
+    # descending via the complement composes with the packed path
+    permd = np.asarray(
+        vk.argsort(jnp.asarray(k), config=CFG, backend="tiled", descending=True)
+    )
+    np.testing.assert_array_equal(permd, np.argsort(~k, kind="stable"))

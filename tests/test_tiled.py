@@ -92,7 +92,7 @@ def test_sort_radix_tiled_full(rng):
 def test_sort_tiled_dispatch(rng, dtype):
     k = make_keys(rng, 200_000, dtype, "zipf")
     enc = common.encode_keys(jnp.asarray(k))
-    out, _ = tiled.sort_tiled(enc, None)
+    out, _ = tiled.sort_tiled(enc, ())
     np.testing.assert_array_equal(
         np.asarray(common.decode_keys(out, dtype)), np.sort(k)
     )

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vkradixsort_tpu.engine.config import DEFAULT_CONFIG, SortConfig
 from vkradixsort_tpu.ops import reference
@@ -73,42 +74,73 @@ def _check_f64_on_tpu(keys) -> None:
         )
 
 
-def _sort_encoded(enc, values, config: SortConfig, path: str):
-    """Sort already-encoded unsigned keys via the selected engine."""
+def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
+    """Sort already-encoded unsigned keys via the selected engine.
+
+    ``vals`` is a tuple of payload arrays riding along with the keys (empty
+    for keys-only). Returns ``(sorted_keys, sorted_vals_tuple)``. Engines
+    whose pipelines physically move a single payload plane (samplesort,
+    radix_tiled, fused) accept at most one; the XLA-sort-backed engines
+    (tiled, bitonic, reference) carry any number.
+    """
     if path == "tiled":
         from vkradixsort_tpu.ops import tiled
 
-        return tiled.sort_tiled(enc, values, config)
+        return tiled.sort_tiled(enc, vals, config)
     if path == "bitonic":
         from vkradixsort_tpu.ops import bitonic, segsort
 
         s = segsort.to_signed_order(enc)
-        vals = () if values is None else (values,)
         out_s, out_v = bitonic.bitonic_sort_block(
             s, vals, stable=bool(vals), interpret=config.interpret
         )
-        out_k = segsort.from_signed_order(out_s, enc.dtype)
-        return out_k, (out_v[0] if vals else None)
+        return segsort.from_signed_order(out_s, enc.dtype), tuple(out_v)
     if path == "fused":
         from vkradixsort_tpu.ops import fused
 
-        return fused.sort_fused(enc, values, config)
+        _only_one_payload(path, vals)
+        out_k, out_v = fused.sort_fused(enc, vals[0] if vals else None, config)
+        return out_k, (out_v,) if vals else ()
     if path == "samplesort":
         from vkradixsort_tpu.ops import samplesort
 
-        if values is None:
+        _only_one_payload(path, vals)
+        if not vals:
             out = samplesort.sort_samplesort(enc, interpret=config.interpret)
-            return out, None
-        return samplesort.sort_pairs_samplesort(
-            enc, values, interpret=config.interpret
+            return out, ()
+        out_k, out_v = samplesort.sort_pairs_samplesort(
+            enc, vals[0], interpret=config.interpret
         )
+        return out_k, (out_v,)
     if path == "radix_tiled":
         from vkradixsort_tpu.ops import radix_tiled
 
-        return radix_tiled.sort_radix_tiled(enc, values, interpret=config.interpret)
+        _only_one_payload(path, vals)
+        out_k, out_v = radix_tiled.sort_radix_tiled(
+            enc, vals[0] if vals else None, interpret=config.interpret
+        )
+        return out_k, (out_v,) if vals else ()
     if path == "reference":
-        return reference._sort_encoded(enc, values, num_chunks=1)
+        if len(vals) <= 1:
+            out_k, out_v = reference._sort_encoded(
+                enc, vals[0] if vals else None, num_chunks=1
+            )
+            return out_k, (out_v,) if vals else ()
+        # Multi-payload on the jnp oracle: one sort carrying the positions,
+        # then gather every payload (fine on CPU; the TPU default is tiled).
+        idx = jnp.arange(enc.shape[0], dtype=jnp.int32)
+        out_k, perm = reference._sort_encoded(enc, idx, num_chunks=1)
+        return out_k, tuple(jnp.take(v, perm) for v in vals)
     raise ValueError(f"unknown sort path {path!r}")
+
+
+def _only_one_payload(path: str, vals: tuple) -> None:
+    if len(vals) > 1:
+        raise NotImplementedError(
+            f"engine {path!r} moves a single payload plane; pass one values "
+            "array, or use the 'tiled'/'bitonic'/'reference' engines for "
+            "multi-payload sorts"
+        )
 
 
 def sort(
@@ -116,8 +148,9 @@ def sort(
     *,
     config: SortConfig = DEFAULT_CONFIG,
     backend: str | None = None,
+    descending: bool = False,
 ) -> jnp.ndarray:
-    """Stable ascending sort of a 1-D key array.
+    """Stable ascending (or descending) sort of a 1-D key array.
 
     Analog of running the reference's whole SingleRadixSort/MultiRadixSort
     drivers (SingleRadixSort.h:21, MultiRadixSort.h:21), as a function.
@@ -127,13 +160,22 @@ def sort(
     This is value-equal to ``np.sort`` except that ``-0.0`` orders strictly
     before ``+0.0`` (np treats them as ties) and negative-signed NaNs sort
     first rather than last.
+
+    ``descending=True`` reverses the key order while keeping ties in their
+    original input order (which a post-hoc ``[::-1]`` would not): the
+    encoded keys are bit-complemented (an order-reversing involution on the
+    unsigned domain) before and after an ascending stable sort.
     """
     if keys.ndim != 1:
         raise ValueError(f"sort expects 1-D keys, got shape {keys.shape}")
     _check_f64_on_tpu(keys)
     path = _route(keys.shape[0], config, backend)
     enc = encode_keys(keys)
-    out, _ = _sort_encoded(enc, None, config, path)
+    if descending:
+        enc = ~enc
+    out, _ = _sort_encoded(enc, (), config, path)
+    if descending:
+        out = ~out
     return decode_keys(out, keys.dtype)
 
 
@@ -143,17 +185,34 @@ def sort_pairs(
     *,
     config: SortConfig = DEFAULT_CONFIG,
     backend: str | None = None,
+    descending: bool = False,
 ):
-    """Stable key-value sort; values ride along with their keys."""
-    if keys.ndim != 1 or values.shape[0] != keys.shape[0]:
+    """Stable key-value sort; values ride along with their keys.
+
+    ``values`` may be one array or a tuple/list of arrays (all length-N):
+    every payload plane is permuted by the same stable key order in ONE
+    sort. On TPU this is the only fast way to carry several payloads — a
+    post-hoc ``values[argsort(keys)]`` gather runs at ~81 M elements/s at
+    1e8 (BENCHMARKS.md) while the carried sort runs at 150-200 M pairs/s.
+    Returns ``(sorted_keys, values_like)`` with the same container shape.
+    """
+    multi = isinstance(values, (tuple, list))
+    vals = tuple(values) if multi else (values,)
+    if keys.ndim != 1 or any(v.shape[:1] != keys.shape[:1] for v in vals):
         raise ValueError(
-            f"sort_pairs expects matching 1-D arrays, got {keys.shape} / {values.shape}"
+            "sort_pairs expects matching 1-D arrays, got "
+            f"{keys.shape} / {[v.shape for v in vals]}"
         )
     _check_f64_on_tpu(keys)
     path = _route(keys.shape[0], config, backend)
     enc = encode_keys(keys)
-    out_k, out_v = _sort_encoded(enc, values, config, path)
-    return decode_keys(out_k, keys.dtype), out_v
+    if descending:
+        enc = ~enc
+    out_k, out_vs = _sort_encoded(enc, vals, config, path)
+    if descending:
+        out_k = ~out_k
+    keys_out = decode_keys(out_k, keys.dtype)
+    return keys_out, (tuple(out_vs) if multi else out_vs[0])
 
 
 def argsort(
@@ -161,17 +220,44 @@ def argsort(
     *,
     config: SortConfig = DEFAULT_CONFIG,
     backend: str | None = None,
+    descending: bool = False,
 ) -> jnp.ndarray:
-    """Stable argsort indices (uint32 for N < 2^32)."""
-    idx_dtype = jnp.uint32 if keys.shape[0] < (1 << 32) else jnp.uint64
-    idx = jnp.arange(keys.shape[0], dtype=idx_dtype)
-    _, perm = sort_pairs(keys, idx, config=config, backend=backend)
+    """Stable argsort indices (uint32 for N < 2^32).
+
+    Fast path for 32-bit-encoded keys on the tiled engine (needs
+    jax_enable_x64): pack ``(encoded_key << 32) | position`` into one u64
+    and run the keys-only direct i64 sort — all packed keys are distinct,
+    so an UNSTABLE sort is stable by construction. Measured on v5e at 1e8:
+    340 ms vs 474 ms for the stable two-operand carry (1.39x,
+    BENCHMARKS.md).
+    """
+    if keys.ndim != 1:
+        raise ValueError(f"argsort expects 1-D keys, got shape {keys.shape}")
+    n = keys.shape[0]
+    path = _route(n, config, backend)
+    if path == "tiled" and jax.config.jax_enable_x64 and n < (1 << 32):
+        _check_f64_on_tpu(keys)
+        enc = encode_keys(keys)
+        if enc.dtype == jnp.uint32:
+            from vkradixsort_tpu.ops import segsort
+
+            if descending:
+                enc = ~enc
+            idx = jnp.arange(n, dtype=jnp.uint64)
+            packed = (enc.astype(jnp.uint64) << np.uint64(32)) | idx
+            sp = segsort.sort_flat(packed, stable=False)
+            return (sp & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    idx_dtype = jnp.uint32 if n < (1 << 32) else jnp.uint64
+    idx = jnp.arange(n, dtype=idx_dtype)
+    _, perm = sort_pairs(keys, idx, config=config, backend=backend, descending=descending)
     return perm
 
 
 def sort_segments(
     keys: jnp.ndarray,
     values: jnp.ndarray | None = None,
+    *,
+    descending: bool = False,
 ):
     """Sort every row of a 2-D array independently (batched segment sort).
 
@@ -191,10 +277,15 @@ def sort_segments(
     from vkradixsort_tpu.ops import segsort
 
     enc = encode_keys(keys)
+    if descending:
+        enc = ~enc
     s = segsort.to_signed_order(enc)
     ops = (s,) if values is None else (s, values)
     out = jax.lax.sort(ops, dimension=1, is_stable=values is not None, num_keys=1)
-    out_k = decode_keys(segsort.from_signed_order(out[0], enc.dtype), keys.dtype)
+    out_enc = segsort.from_signed_order(out[0], enc.dtype)
+    if descending:
+        out_enc = ~out_enc
+    out_k = decode_keys(out_enc, keys.dtype)
     if values is None:
         return out_k
     return out_k, out[1]

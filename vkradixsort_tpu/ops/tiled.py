@@ -27,13 +27,11 @@ from vkradixsort_tpu.engine.config import DEFAULT_CONFIG, SortConfig
 from vkradixsort_tpu.ops import segsort
 
 
-def sort_tiled(enc: jnp.ndarray, values, config: SortConfig = DEFAULT_CONFIG):
-    """Sort encoded (unsigned) keys + optional values at HBM scale."""
-    vals = () if values is None else (values,)
+def sort_tiled(enc: jnp.ndarray, vals: tuple, config: SortConfig = DEFAULT_CONFIG):
+    """Sort encoded (unsigned) keys + any number of payload planes at HBM
+    scale. Returns ``(sorted_keys, sorted_vals_tuple)``."""
     if enc.dtype == jnp.uint32:
-        out_k, out_v = segsort.sort_flat_u32(enc, vals, stable=bool(vals))
-    elif enc.dtype == jnp.uint64:
-        out_k, out_v = segsort.sort_flat_u64(enc, vals, stable=bool(vals))
-    else:
-        raise TypeError(f"encoded keys must be uint32/uint64, got {enc.dtype}")
-    return out_k, (out_v[0] if vals else None)
+        return segsort.sort_flat_u32(enc, vals, stable=bool(vals))
+    if enc.dtype == jnp.uint64:
+        return segsort.sort_flat_u64(enc, vals, stable=bool(vals))
+    raise TypeError(f"encoded keys must be uint32/uint64, got {enc.dtype}")
