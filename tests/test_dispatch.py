@@ -118,6 +118,18 @@ def test_sort_pairs_multi_payload(rng):
         np.testing.assert_array_equal(np.asarray(o3), v3[perm], err_msg=engine)
 
 
+def test_sort_segments_multi_payload(rng):
+    k = make_keys(rng, 4_096, np.uint32, "uniform").reshape(4, 1024) % 211
+    v1 = np.tile(np.arange(1024, dtype=np.uint32), (4, 1))
+    v2 = rng.standard_normal((4, 1024)).astype(np.float32)
+    ok, (o1, o2) = vk.sort_segments(jnp.asarray(k), (jnp.asarray(v1), jnp.asarray(v2)))
+    for r in range(4):
+        perm = np.argsort(k[r], kind="stable")
+        np.testing.assert_array_equal(np.asarray(ok)[r], k[r][perm])
+        np.testing.assert_array_equal(np.asarray(o1)[r], perm.astype(np.uint32))
+        np.testing.assert_array_equal(np.asarray(o2)[r], v2[r][perm])
+
+
 def test_sort_pairs_multi_payload_single_plane_engines(rng):
     k = jnp.asarray(make_keys(rng, 4_096, np.uint32, "uniform"))
     v = jnp.arange(4_096, dtype=jnp.uint32)

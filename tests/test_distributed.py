@@ -6,7 +6,11 @@ import numpy as np
 import pytest
 
 from vkradixsort_tpu.engine.context import TPUContext
-from vkradixsort_tpu.parallel.distributed import gather_sorted, sort_sharded
+from vkradixsort_tpu.parallel.distributed import (
+    gather_sorted,
+    sort_distributed,
+    sort_sharded,
+)
 from tests.conftest import make_keys
 
 pytestmark = pytest.mark.skipif(
@@ -73,6 +77,56 @@ def test_sort_sharded_float(rng):
     assert not np.any(np.asarray(overflow))
     got = gather_sorted(pk, counts)
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_sharded_multi_payload(rng):
+    n = 8 * 2048
+    keys = (make_keys(rng, n, np.uint32, "uniform") % 211).astype(np.uint32)
+    v1 = np.arange(n, dtype=np.int32)
+    v2 = rng.standard_normal(n).astype(np.float32)
+    mesh = _mesh()
+    pk, counts, overflow, (p1, p2) = sort_sharded(
+        jnp.asarray(keys), mesh, values=(jnp.asarray(v1), jnp.asarray(v2))
+    )
+    assert not np.any(np.asarray(overflow))
+    got_k, (g1, g2) = gather_sorted(pk, counts, (p1, p2))
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(got_k, keys[perm])
+    np.testing.assert_array_equal(g1, perm.astype(np.int32))
+    np.testing.assert_array_equal(g2, v2[perm])
+
+
+def test_sort_sharded_descending_stable(rng):
+    n = 8 * 2048
+    keys = (make_keys(rng, n, np.uint32, "uniform") % 97).astype(np.uint32)
+    vals = np.arange(n, dtype=np.int32)
+    mesh = _mesh()
+    pk, counts, overflow, pv = sort_sharded(
+        jnp.asarray(keys), mesh, values=jnp.asarray(vals), descending=True
+    )
+    assert not np.any(np.asarray(overflow))
+    got_k, got_v = gather_sorted(pk, counts, pv)
+    perm = np.argsort(~keys, kind="stable")
+    np.testing.assert_array_equal(got_k, keys[perm])
+    np.testing.assert_array_equal(got_v, perm.astype(np.int32))
+
+
+def test_sort_distributed_overflow_retry(rng):
+    # slack=0.2 makes bucket capacity ~n_local/(5P): guaranteed overflow on
+    # the first attempt; the wrapper must retry with doubled slack until the
+    # exchange fits and still return the exact stable result.
+    n = 8 * 2048
+    keys = make_keys(rng, n, np.uint32, "uniform")
+    mesh = _mesh()
+    got = sort_distributed(jnp.asarray(keys), mesh, slack=0.2)
+    np.testing.assert_array_equal(got, np.sort(keys))
+    vals = np.arange(n, dtype=np.int32)
+    got_k, got_v = sort_distributed(
+        jnp.asarray(keys), mesh, values=jnp.asarray(vals), slack=0.2
+    )
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(got_k, keys[perm])
+    np.testing.assert_array_equal(got_v, perm.astype(np.int32))
 
 
 def test_sort_sharded_jit_compatible(rng):

@@ -268,24 +268,27 @@ def sort_segments(
     TPU-first design and is the building block the distributed shuffle and
     samplesort stages use internally.
 
-    Stable per row when ``values`` ride along. Returns ``sorted_keys`` or
-    ``(sorted_keys, permuted_values)``.
+    Stable per row when ``values`` ride along; like :func:`sort_pairs`,
+    ``values`` may be one 2-D array or a tuple/list of payload planes.
+    Returns ``sorted_keys`` or ``(sorted_keys, permuted_values)`` with the
+    container shape preserved.
     """
     if keys.ndim != 2:
         raise ValueError(f"sort_segments expects 2-D keys, got {keys.shape}")
     _check_f64_on_tpu(keys)
     from vkradixsort_tpu.ops import segsort
 
+    multi = isinstance(values, (tuple, list))
+    vals = () if values is None else (tuple(values) if multi else (values,))
     enc = encode_keys(keys)
     if descending:
         enc = ~enc
     s = segsort.to_signed_order(enc)
-    ops = (s,) if values is None else (s, values)
-    out = jax.lax.sort(ops, dimension=1, is_stable=values is not None, num_keys=1)
+    out = jax.lax.sort((s,) + vals, dimension=1, is_stable=bool(vals), num_keys=1)
     out_enc = segsort.from_signed_order(out[0], enc.dtype)
     if descending:
         out_enc = ~out_enc
     out_k = decode_keys(out_enc, keys.dtype)
     if values is None:
         return out_k
-    return out_k, out[1]
+    return out_k, (tuple(out[1:]) if multi else out[1])

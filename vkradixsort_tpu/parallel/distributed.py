@@ -188,22 +188,29 @@ def _idx_sort(enc, gidx, values: Sequence[jnp.ndarray]):
 def sort_sharded(
     keys: jnp.ndarray,
     mesh: jax.sharding.Mesh,
-    values: jnp.ndarray | None = None,
+    values=None,
     axis_name: str = "x",
     slack: float = 2.0,
     oversample: int = 32,
+    descending: bool = False,
 ):
     """Distributed stable sort of a 1-D array sharded over ``axis_name``.
 
     Returns ``(padded_keys, counts, overflow[, padded_values])``: shard d of
     ``padded_keys`` holds the d-th contiguous range of the globally sorted
     order in its first ``counts[d]`` slots, sentinel-padded after (padding
-    decodes to dtype-max for uints / NaN-ish max for floats — strip with
-    ``gather_sorted``). ``overflow`` is a per-shard flag the caller MUST
-    check: if any entry is set, a bucket exceeded its static capacity and
-    the output is truncated — retry with larger ``slack``/``oversample``.
-    Keys may be any supported key dtype; ``values`` ride along unchanged.
+    content is arbitrary — strip with ``gather_sorted``). ``overflow`` is a
+    per-shard flag the caller MUST check: if any entry is set, a bucket
+    exceeded its static capacity and the output is truncated — retry with
+    larger ``slack``/``oversample`` (or use :func:`sort_distributed`, which
+    does that loop). Keys may be any supported key dtype; ``values`` ride
+    along unchanged and may be one array or a tuple/list of payload planes
+    (``padded_values`` matches the container shape). ``descending=True``
+    reverses the key order with ties kept in original input order, via the
+    same encoded-key bit-complement as the single-chip API.
     """
+    multi = isinstance(values, (tuple, list))
+    vals = () if values is None else (tuple(values) if multi else (values,))
     num_shards = mesh.shape[axis_name]
     n = keys.shape[0]
     if keys.dtype == jnp.float64 and any(
@@ -223,7 +230,8 @@ def sort_sharded(
     cap = int(slack * n_local / num_shards) + 64
 
     enc = encode_keys(keys)
-    vals = () if values is None else (values,)
+    if descending:
+        enc = ~enc
     fn = _partition_fn(axis_name, num_shards, cap, oversample)
     spec = P(axis_name)
     out_specs = (spec, spec, spec) + tuple(spec for _ in vals)
@@ -236,21 +244,64 @@ def sort_sharded(
     )
     res = mapped(enc, *vals)
     out_k, counts, overflow = res[0], res[1], res[2]
+    if descending:
+        out_k = ~out_k
     out_keys = decode_keys(out_k, keys.dtype)
     if values is None:
         return out_keys, counts, overflow
-    return out_keys, counts, overflow, res[3]
+    return out_keys, counts, overflow, (tuple(res[3:]) if multi else res[3])
 
 
 def gather_sorted(padded_keys, counts, padded_values=None):
     """Host-side helper: strip sentinel padding and concatenate shards."""
-    pk = np.asarray(padded_keys)
     cs = np.asarray(counts)
-    per = pk.shape[0] // cs.shape[0]
-    pieces = [pk[i * per : i * per + cs[i]] for i in range(cs.shape[0])]
-    out_k = np.concatenate(pieces)
+
+    def strip(padded):
+        p = np.asarray(padded)
+        per = p.shape[0] // cs.shape[0]
+        return np.concatenate([p[i * per : i * per + cs[i]] for i in range(cs.shape[0])])
+
+    out_k = strip(padded_keys)
     if padded_values is None:
         return out_k
-    pv = np.asarray(padded_values)
-    vpieces = [pv[i * per : i * per + cs[i]] for i in range(cs.shape[0])]
-    return out_k, np.concatenate(vpieces)
+    if isinstance(padded_values, (tuple, list)):
+        return out_k, tuple(strip(pv) for pv in padded_values)
+    return out_k, strip(padded_values)
+
+
+def sort_distributed(
+    keys: jnp.ndarray,
+    mesh: jax.sharding.Mesh,
+    values=None,
+    axis_name: str = "x",
+    slack: float = 2.0,
+    oversample: int = 32,
+    descending: bool = False,
+):
+    """Host-driving convenience around :func:`sort_sharded`: runs the
+    distributed sort, checks the overflow flag, and retries with doubled
+    ``slack`` (and ``oversample``) until it fits. At ``slack >= P`` a bucket
+    capacity equals the whole shard, so overflow is impossible and the loop
+    always terminates. Returns stripped host arrays — ``sorted_keys`` or
+    ``(sorted_keys, values_like)``. Not jit-compatible (it fetches the
+    overflow flag); inside jit use ``sort_sharded`` and handle overflow
+    yourself.
+    """
+    num_shards = mesh.shape[axis_name]
+    while True:
+        res = sort_sharded(
+            keys,
+            mesh,
+            values=values,
+            axis_name=axis_name,
+            slack=slack,
+            oversample=oversample,
+            descending=descending,
+        )
+        if not np.any(np.asarray(res[2])):
+            if values is None:
+                return gather_sorted(res[0], res[1])
+            return gather_sorted(res[0], res[1], res[3])
+        assert slack < num_shards, "overflow at slack >= P cannot happen"
+        slack = min(slack * 2.0, float(num_shards))
+        oversample = min(oversample * 2, 256)
