@@ -32,14 +32,16 @@ def main() -> None:
             rows.extend(csv.DictReader(fh))
     os.makedirs(args.out, exist_ok=True)
 
-    # One comparison plot per (dtype, kv, distribution): engine curves of
+    # One comparison plot per (dtype, op, distribution): engine curves of
     # time vs N on log-log axes, like timings/radixsort_comparison.png.
+    # Older CSVs predate the `op` column; derive it from `kv` there.
     groups = collections.defaultdict(lambda: collections.defaultdict(list))
     for r in rows:
-        key = (r["dtype"], r["kv"], r["distribution"])
+        op = r.get("op") or ("kv" if r["kv"] == "1" else "keys")
+        key = (r["dtype"], op, r["distribution"])
         groups[key][r["engine"]].append((int(r["n"]), float(r["tpu_ms"])))
 
-    for (dtype, kv, dist), engines in groups.items():
+    for (dtype, op, dist), engines in groups.items():
         fig, ax = plt.subplots(figsize=(7, 5))
         for engine, pts in sorted(engines.items()):
             pts.sort()
@@ -49,11 +51,11 @@ def main() -> None:
         ax.set_yscale("log")
         ax.set_xlabel("N (elements)")
         ax.set_ylabel("sort time (ms)")
-        kind = "key-value pairs" if kv == "1" else "keys"
+        kind = {"kv": "key-value pairs", "argsort": "argsort", "keys": "keys"}[op]
         ax.set_title(f"{dtype} {kind}, {dist} — TPU v5e")
         ax.grid(True, which="both", alpha=0.3)
         ax.legend()
-        name = f"sort_comparison_{dtype}_{'kv' if kv == '1' else 'keys'}_{dist}.png"
+        name = f"sort_comparison_{dtype}_{op}_{dist}.png"
         fig.savefig(os.path.join(args.out, name), dpi=120, bbox_inches="tight")
         plt.close(fig)
         print(f"wrote {os.path.join(args.out, name)}")

@@ -47,18 +47,29 @@ def main() -> None:
     ap.add_argument("--distribution", default="uniform",
                     choices=["uniform", "uniform28", "descending", "constant", "zipf"])
     ap.add_argument("--kv", action="store_true", help="sort key-value pairs")
+    ap.add_argument("--op", default=None, choices=["keys", "kv", "argsort"],
+                    help="operation to sweep (overrides --kv; argsort enables x64 "
+                         "and exercises the packed-i64 fast path on 'tiled')")
     ap.add_argument("--dtype", default="uint32", choices=["uint32", "uint64"])
     ap.add_argument("--csv", default="sweep.csv", help="CSV output path (appends)")
     ap.add_argument("--verify-max", type=int, default=20_000_000,
                     help="exact host verification up to this N (device-side sortedness above)")
     ap.add_argument("--seed", type=int, default=0xBE7C)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke runs off-TPU)")
     args = ap.parse_args()
 
     import numpy as np
     import jax
+
+    if args.cpu:
+        # after `import jax`: the axon sitecustomize overrides JAX_PLATFORMS
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    if args.dtype == "uint64":
+    op = args.op or ("kv" if args.kv else "keys")
+    args.kv = op == "kv"
+    if args.dtype == "uint64" or op == "argsort":
         jax.config.update("jax_enable_x64", True)
 
     import vkradixsort_tpu as vk
@@ -74,7 +85,7 @@ def main() -> None:
     engines = args.engines.split(",")
     sizes = parse_sizes(args.sizes)
     log(f"devices: {jax.devices()}  engines={engines} sizes={sizes} "
-        f"dist={args.distribution} kv={args.kv}")
+        f"dist={args.distribution} op={op}")
 
     rows = []
     for n in sizes:
@@ -89,10 +100,10 @@ def main() -> None:
                 continue  # VMEM bound
             if engine == "fused" and n > (1 << 14):
                 continue  # compile-time bound
-            if engine == "samplesort" and (args.kv or n < (1 << 16)):
-                continue  # keys-only, large-N engine
+            if engine == "samplesort" and (op != "keys" or n < (1 << 16)):
+                continue  # keys-only here, large-N engine
             try:
-                if args.kv:
+                if op == "kv":
                     values = jnp.arange(n, dtype=jnp.uint32)
 
                     def f(kk, vv, _e=engine):
@@ -100,6 +111,13 @@ def main() -> None:
 
                     out_k, out_v = jax.jit(f)(keys, values)
                     dt = measure_pairs_seconds_per_call(f, keys, values, reps=4)
+                elif op == "argsort":
+                    def f(kk, _e=engine):
+                        return vk.argsort(kk, backend=_e)
+
+                    out_v = jax.jit(f)(keys)
+                    out_k = None
+                    dt = measure_seconds_per_call(jax.jit(f), keys, reps=4)
                 else:
                     def f(kk, _e=engine):
                         return vk.sort(kk, backend=_e)
@@ -111,17 +129,24 @@ def main() -> None:
                 continue
 
             if oracle is not None:
-                exact = bool(np.array_equal(np.asarray(out_k), oracle))
-                if args.kv:
+                exact = out_k is None or bool(
+                    np.array_equal(np.asarray(out_k), oracle)
+                )
+                if op != "keys":
                     perm = np.argsort(k_np, kind="stable")
                     exact = exact and bool(
                         np.array_equal(np.asarray(out_v), perm.astype(np.uint32))
                     )
+            elif op == "argsort":
+                # sampled: keys gathered through the permutation must ascend
+                pv = np.asarray(out_v[:: max(n // 1_000_000, 1)]).astype(np.int64)
+                o = k_np[pv]
+                exact = bool((o[1:] >= o[:-1]).all())
             else:
                 o = np.asarray(out_k[:: max(n // 1_000_000, 1)])
                 exact = bool((o[1:] >= o[:-1]).all())  # sampled sortedness
             row = dict(
-                engine=engine, n=n, dtype=args.dtype, kv=int(args.kv),
+                engine=engine, n=n, dtype=args.dtype, op=op, kv=int(args.kv),
                 distribution=args.distribution,
                 tpu_ms=round(dt * 1e3, 4), cpu_ms=round(cpu_ms, 2),
                 mkeys_per_s=round(n / dt / 1e6, 1), exact=int(exact),
