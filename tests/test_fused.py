@@ -15,12 +15,12 @@ import jax
 INTERPRET = jax.default_backend() != "tpu"
 CFG = SortConfig(interpret=INTERPRET)
 
-# On real TPU each fused variant compiles for minutes (BENCHMARKS.md); the
-# kernel is exactness-tested in interpret mode on every CPU run, so only
-# opt into device compiles explicitly.
+# On real TPU each fused kernel geometry compiles in ~10-20 s (BENCHMARKS.md);
+# the kernel is exactness-tested in interpret mode on every CPU run, so only
+# opt into device compiles explicitly to keep the TPU suite fast.
 if not INTERPRET and not os.environ.get("VKRS_TEST_FUSED"):
     pytestmark = __import__("pytest").mark.skip(
-        reason="fused kernel compiles take minutes on TPU; set VKRS_TEST_FUSED=1"
+        reason="fused kernel compiles ~10-20 s/shape on TPU; set VKRS_TEST_FUSED=1"
     )
 
 

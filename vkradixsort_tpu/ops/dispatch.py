@@ -14,7 +14,7 @@ regime split is a dispatcher: one public ``sort`` / ``sort_pairs`` /
   "bitonic"     single_radixsort (in-VMEM,     whole sort in ONE Pallas kernel;
                 one kernel launch)             ~2 s compile, 0.5-1 G keys/s
   "fused"       single_radixsort (LSD radix    Pallas matmul-radix; structural
-                digit passes, one kernel)      parity path — minutes to compile,
+                digit passes, one kernel)      parity path — ~10-20 s compile,
                                                never routed implicitly
   "samplesort"  multi_radixsort's histogram/   splitter partition + Pallas DMA
                 scatter pipeline, re-designed  placement (keys and stable kv);

@@ -127,47 +127,70 @@ def _apply_permutation(dest_f32, planes, eb: int):
     """Scatter every plane to ``dest`` via factorized one-hot matmuls.
 
     dest_f32: (R, 128) exact-integer destinations (a permutation of 0..E-1).
-    planes: list of (R, 128) float32 value planes (each entry < 2^16).
+    planes: (P, R, 128) float32 value planes (each entry < 2^16).
     eb: elements per matmul block (lane-contraction width).
     """
-    R = dest_f32.shape[0]
+    P, R, _ = planes.shape
     E = R * LANES
     nb = E // eb
 
     destw = dest_f32.reshape(nb, eb).astype(jnp.int32)
     q = destw >> 7  # output row
     rl = destw & (LANES - 1)  # output lane
-    planesw = [p.reshape(nb, eb) for p in planes]
+    planesw = planes.reshape(P, nb, eb)
 
     ciota = jax.lax.broadcasted_iota(jnp.int32, (R, eb), 0)
     riota = jax.lax.broadcasted_iota(jnp.int32, (LANES, eb), 0)
 
-    outs = [jnp.zeros((R, LANES), jnp.float32) for _ in planes]
+    outs = [jnp.zeros((R, LANES), jnp.float32) for _ in range(P)]
     for ib in range(nb):
         qb = jnp.broadcast_to(q[ib : ib + 1], (R, eb))
         AqT = (qb == ciota).astype(jnp.float32)  # (R, eb)
         rb = jnp.broadcast_to(rl[ib : ib + 1], (LANES, eb))
         sel = riota == rb  # (128, eb)
-        for pi, pw in enumerate(planesw):
-            vb = jnp.broadcast_to(pw[ib : ib + 1], (LANES, eb))
+        for pi in range(P):
+            vb = jnp.broadcast_to(planesw[pi, ib : ib + 1], (LANES, eb))
             M2 = jnp.where(sel, vb, 0.0)
             outs[pi] = outs[pi] + _dot(AqT, M2, ((1,), (1,)))
-    return outs
+    return jnp.stack(outs)
 
 
 def _make_kernel(num_key_planes: int, num_planes: int, eb: int):
+    """Build the fused-sort kernel body.
+
+    The digit loop is a ``fori_loop`` over the sub-passes (plane index and
+    shift derived from the loop counter, the active key plane picked by
+    dynamic index) so Mosaic compiles ONE sub-pass body instead of
+    8 (u32) / 16 (u64) unrolled copies — this is what holds the kernel's
+    compile time down.
+    """
+
     def kernel(*refs):
         ins = refs[:num_planes]
         outs = refs[num_planes:]
-        planes = [r[:] for r in ins]
-        for sp in range(num_key_planes * 4):
-            kp, s = divmod(sp, 4)
-            bits = planes[kp].astype(jnp.int32)
+        planes = jnp.stack([r[:] for r in ins])  # (P, R, 128)
+
+        def sub_pass(sp, planes):
+            kp = sp // 4
+            s = sp - kp * 4
+            # Mosaic has no dynamic_slice on in-kernel values; pick the
+            # active key plane by a masked sum over the (tiny) leading axis
+            # — exactly one term is nonzero, so the f32 sum is exact.
+            mask = (
+                jax.lax.broadcasted_iota(jnp.int32, (num_planes, 1, 1), 0) == kp
+            ).astype(jnp.float32)
+            bits = jnp.sum(planes * mask, axis=0).astype(jnp.int32)
             d = (bits >> (s * SUB_BITS)) & (SUB_BINS - 1)
             dest = _compute_dest(d)
-            planes = _apply_permutation(dest, planes, eb)
-        for o, p in zip(outs, planes):
-            o[:] = p
+            return _apply_permutation(dest, planes, eb)
+
+        # int32 bounds: under jax_enable_x64 plain-int bounds would trace an
+        # i64 loop counter, which Mosaic rejects (see axon-tpu gotchas).
+        planes = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(num_key_planes * 4), sub_pass, planes
+        )
+        for i, o in enumerate(outs):
+            o[:] = planes[i]
 
     return kernel
 
@@ -192,7 +215,11 @@ def _from_planes(planes: list[jnp.ndarray], dtype) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("config", "has_values", "value_dtype"))
 def _sort_fused_impl(enc, values_u, config: SortConfig, has_values: bool, value_dtype):
     n = enc.shape[0]
-    e = round_up(max(n, 4096), 4096)
+    # Floor the padded size at 8192: the degenerate single-block geometry
+    # (e=4096, R=32, nb=1) sends Mosaic down a pathological compile path
+    # (measured 8-21 MINUTES vs ~5 s for every nb>=2 shape on v5e); the
+    # extra 4096 sentinel elements cost microseconds at runtime.
+    e = round_up(max(n, 8192), 4096)
     eb = min(4096, e)
     R = e // LANES
 
@@ -208,7 +235,7 @@ def _sort_fused_impl(enc, values_u, config: SortConfig, has_values: bool, value_
     num_planes = len(planes)
     kernel = _make_kernel(kp, num_planes, eb)
     out_shapes = [jax.ShapeDtypeStruct((R, LANES), jnp.float32)] * num_planes
-    outs = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * num_planes,
@@ -218,7 +245,16 @@ def _sort_fused_impl(enc, values_u, config: SortConfig, has_values: bool, value_
         # have 128 MiB, so raise the Mosaic limit explicitly.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=config.interpret,
-    )(*planes)
+    )
+    # Every pallas operand is an f32 u16-plane (even for u64 keys/values),
+    # so tracing with x64 semantics off is always semantics-preserving here
+    # — and required: the fori_loop counter math would otherwise promote
+    # through i64, which Mosaic rejects / Pallas narrows via a trace-time
+    # recursion (same pattern as ops/bitonic.py).
+    from jax._src.config import enable_x64  # no public context manager
+
+    with enable_x64(False):
+        outs = call(*planes)
 
     out_keys = _from_planes(outs[:kp], enc.dtype)[:n]
     out_values = None
