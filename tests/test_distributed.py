@@ -70,6 +70,24 @@ def test_sort_sharded_u64(rng):
     np.testing.assert_array_equal(got, np.sort(keys))
 
 
+def test_sort_sharded_u64_zipf_kv(rng):
+    # BASELINE.json config #4: 64-bit keys under heavy Zipf skew; the
+    # composite splitters must keep buckets inside slack AND keep the kv
+    # pairing stable.
+    n = 8 * 2048
+    keys = make_keys(rng, n, np.uint64, "zipf")
+    vals = np.arange(n, dtype=np.int32)
+    mesh = _mesh()
+    pk, counts, overflow, pv = sort_sharded(
+        jnp.asarray(keys), mesh, values=jnp.asarray(vals), slack=4.0, oversample=64
+    )
+    assert not np.any(np.asarray(overflow))
+    got_k, got_v = gather_sorted(pk, counts, pv)
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(got_k, keys[perm])
+    np.testing.assert_array_equal(got_v, perm.astype(np.int32))
+
+
 def test_sort_sharded_float(rng):
     keys = ((rng.random(8 * 1024) * 2 - 1) * 1e6).astype(np.float32)
     mesh = _mesh()
@@ -127,6 +145,47 @@ def test_sort_distributed_overflow_retry(rng):
     perm = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(got_k, keys[perm])
     np.testing.assert_array_equal(got_v, perm.astype(np.int32))
+
+
+@pytest.mark.parametrize("dist", ["uniform", "descending", "constant", "zipf"])
+def test_sort_sharded_overlapped(rng, dist):
+    # overlap_chunks > 1: the software-pipelined body (chunk k sorts while
+    # chunk k-1's all-to-all is in flight) must stay exact on every
+    # distribution; the strided chunking keeps per-chunk buckets balanced
+    # even for the adversarial descending input.
+    n = 8 * 4096
+    keys = make_keys(rng, n, np.uint32, dist)
+    mesh = _mesh()
+    pk, counts, overflow = sort_sharded(
+        jnp.asarray(keys), mesh, overlap_chunks=4, slack=3.0
+    )
+    assert not np.any(np.asarray(overflow)), f"overflow ({dist})"
+    got = gather_sorted(pk, counts)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_sharded_overlapped_kv_stable(rng):
+    n = 8 * 2048
+    keys = (make_keys(rng, n, np.uint32, "uniform") % 97).astype(np.uint32)
+    vals = np.arange(n, dtype=np.int32)
+    mesh = _mesh()
+    pk, counts, overflow, pv = sort_sharded(
+        jnp.asarray(keys), mesh, values=jnp.asarray(vals), overlap_chunks=4,
+        slack=3.0,
+    )
+    assert not np.any(np.asarray(overflow))
+    got_k, got_v = gather_sorted(pk, counts, pv)
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(got_k, keys[perm])
+    np.testing.assert_array_equal(got_v, perm.astype(np.int32))
+
+
+def test_sort_distributed_overlapped_retry(rng):
+    n = 8 * 4096
+    keys = make_keys(rng, n, np.uint32, "zipf")
+    mesh = _mesh()
+    got = sort_distributed(jnp.asarray(keys), mesh, slack=0.2, overlap_chunks=2)
+    np.testing.assert_array_equal(got, np.sort(keys))
 
 
 def test_sort_sharded_jit_compatible(rng):

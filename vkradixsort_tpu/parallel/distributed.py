@@ -48,6 +48,67 @@ from vkradixsort_tpu.ops.common import (
 P = jax.sharding.PartitionSpec
 
 
+def _splitters_from_sorted(k_sorted, gidx_s, axis_name, num_shards, oversample):
+    """Global composite (key, position) splitters from each shard's sorted
+    sample quantiles: oversample*P local quantiles -> all_gather -> global
+    quantiles of the gathered sample."""
+    n = k_sorted.shape[0]
+    num_s = min(oversample * num_shards, n)
+    pos = (jnp.arange(num_s, dtype=jnp.int32) * n) // num_s + n // (2 * num_s)
+    pos = jnp.minimum(pos, n - 1)
+    samples = jnp.take(k_sorted, pos)
+    samples_g = jnp.take(gidx_s, pos)
+    all_samples = jax.lax.all_gather(samples, axis_name).reshape(-1)
+    all_samples_g = jax.lax.all_gather(samples_g, axis_name).reshape(-1)
+    sk, sg, _ = _idx_sort(all_samples, all_samples_g, [])
+    step = all_samples.shape[0] // num_shards
+    return sk[step::step][: num_shards - 1], sg[step::step][: num_shards - 1]
+
+
+def _build_send(k_sorted, gidx_s, vs, splitters, splitters_g, num_shards, cap):
+    """Slice the P contiguous splitter buckets of a sorted shard into
+    sentinel-padded static (P, cap) send buffers.
+
+    Returns ``(send_k, send_vs, lens, overflow)``. ``vs`` must already have
+    the gidx carry at position 0 (its padding fill is INT32_MAX so padding
+    sorts strictly AFTER real pairs even inside a sentinel-key run; see
+    sort_sharded docstring)."""
+    n = k_sorted.shape[0]
+    sentinel = pad_sentinel(k_sorted.dtype)
+    bounds = composite_searchsorted(k_sorted, gidx_s, splitters, splitters_g)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds])
+    ends = jnp.concatenate([bounds, jnp.full((1,), n, jnp.int32)])
+    lens = ends - starts
+    overflow = jnp.any(lens > cap)
+
+    fills = [np.int32(np.iinfo(np.int32).max)] + [0] * (len(vs) - 1)
+    k_ext = jnp.concatenate([k_sorted, jnp.full((cap,), sentinel, k_sorted.dtype)])
+    v_exts = [
+        jnp.concatenate([v, jnp.full((cap,), fill, v.dtype)])
+        for v, fill in zip(vs, fills)
+    ]
+    jpos = jnp.arange(cap, dtype=jnp.int32)[None, :]  # (1, cap)
+    send_k = jnp.stack(
+        [jax.lax.dynamic_slice(k_ext, (starts[p],), (cap,)) for p in range(num_shards)]
+    )
+    valid = jpos < lens[:, None]  # (P, cap)
+    send_k = jnp.where(valid, send_k, sentinel)
+    send_vs = [
+        jnp.where(
+            valid,
+            jnp.stack(
+                [
+                    jax.lax.dynamic_slice(v_ext, (starts[p],), (cap,))
+                    for p in range(num_shards)
+                ]
+            ),
+            fill,
+        )
+        for v_ext, fill in zip(v_exts, fills)
+    ]
+    return send_k, send_vs, lens, overflow
+
+
 def _partition_fn(
     axis_name: str,
     num_shards: int,
@@ -58,7 +119,6 @@ def _partition_fn(
 
     def fn(enc, *values):
         n = enc.shape[0]
-        sentinel = pad_sentinel(enc.dtype)
 
         # 0. Block-interleave reshard: one cheap all_to_all that scatters
         # each shard's n/P sub-blocks round-robin across the mesh, breaking
@@ -89,62 +149,20 @@ def _partition_fn(
         # (key, original-position) composites: partitioning by the composite
         # splits runs of equal keys across buckets, so duplicate-heavy
         # (even constant) inputs stay balanced.
-        num_s = oversample * num_shards
-        pos = (jnp.arange(num_s, dtype=jnp.int32) * n) // num_s + n // (2 * num_s)
-        pos = jnp.minimum(pos, n - 1)
-        samples = jnp.take(k_sorted, pos)
-        samples_g = jnp.take(gidx_s, pos)
-        all_samples = jax.lax.all_gather(samples, axis_name).reshape(-1)
-        all_samples_g = jax.lax.all_gather(samples_g, axis_name).reshape(-1)
-        sk, sg, _ = _idx_sort(all_samples, all_samples_g, [])
-        step = all_samples.shape[0] // num_shards
-        splitters = sk[step::step][: num_shards - 1]  # (P-1,)
-        splitters_g = sg[step::step][: num_shards - 1]
-
-        # 3. Composite bucket boundaries in the sorted shard:
-        # count of (key, gidx) < (splitter, splitter_gidx). The shard is
-        # sorted lexicographically by exactly that composite, so a direct
-        # O(P log n) vectorized bisection does it (an (n, P) materialized
-        # tie matrix would be O(n*P) memory — prohibitive at scale).
-        bounds = composite_searchsorted(k_sorted, gidx_s, splitters, splitters_g)
-        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds])
-        ends = jnp.concatenate([bounds, jnp.full((1,), n, jnp.int32)])
-        lens = ends - starts
-        overflow = jnp.any(lens > cap)
-
-        # 4. Static-shape send buffers: slice cap elements per bucket from a
-        # sentinel-extended buffer (no dynamic-slice clamping artifacts).
-        # Padding fill for the gidx carry is INT32_MAX, NOT 0: the receiver
-        # sorts by (key, gidx), and a real key can equal the key sentinel
-        # (e.g. uint32 max / INT32_MAX input keys). gidx-max makes padding
-        # sort strictly AFTER every real pair inside a sentinel-key run, so
-        # such pairs keep their payloads.
-        vs = [gidx_s] + vs
-        fills = [np.int32(np.iinfo(np.int32).max)] + [0] * (len(vs) - 1)
-        k_ext = jnp.concatenate([k_sorted, jnp.full((cap,), sentinel, enc.dtype)])
-        v_exts = [
-            jnp.concatenate([v, jnp.full((cap,), fill, v.dtype)])
-            for v, fill in zip(vs, fills)
-        ]
-        jpos = jnp.arange(cap, dtype=jnp.int32)[None, :]  # (1, cap)
-        send_k = jnp.stack(
-            [jax.lax.dynamic_slice(k_ext, (starts[p],), (cap,)) for p in range(num_shards)]
+        splitters, splitters_g = _splitters_from_sorted(
+            k_sorted, gidx_s, axis_name, num_shards, oversample
         )
-        valid = jpos < lens[:, None]  # (P, cap)
-        send_k = jnp.where(valid, send_k, sentinel)
-        send_vs = [
-            jnp.where(
-                valid,
-                jnp.stack(
-                    [
-                        jax.lax.dynamic_slice(v_ext, (starts[p],), (cap,))
-                        for p in range(num_shards)
-                    ]
-                ),
-                fill,
-            )
-            for v_ext, fill in zip(v_exts, fills)
-        ]
+
+        # 3.+4. Composite bucket boundaries (O(P log n) vectorized bisection
+        # — the shard is sorted by exactly the composite order) and
+        # static-shape sentinel-padded send buffers. The gidx carry rides at
+        # vs[0] with padding fill INT32_MAX: a real key can equal the key
+        # sentinel, and gidx-max makes padding sort strictly AFTER every
+        # real pair inside a sentinel-key run, so such pairs keep payloads.
+        vs = [gidx_s] + vs
+        send_k, send_vs, lens, overflow = _build_send(
+            k_sorted, gidx_s, vs, splitters, splitters_g, num_shards, cap
+        )
 
         # 5. One all-to-all over the mesh axis; then the tiebreak local sort.
         recv_k = jax.lax.all_to_all(send_k, axis_name, split_axis=0, concat_axis=0)
@@ -158,6 +176,89 @@ def _partition_fn(
             [rv.reshape(-1) for rv in recv_vs[1:]],
         )
         count = jnp.sum(jax.lax.all_to_all(lens, axis_name, split_axis=0, concat_axis=0))
+        return (out_k, count.reshape(1), overflow.reshape(1)) + tuple(out_vs)
+
+    return fn
+
+
+def _partition_fn_overlapped(
+    axis_name: str,
+    num_shards: int,
+    cap: int,
+    oversample: int,
+    chunks: int,
+):
+    """Software-pipelined shard_map body (the north star's "exchange
+    overlapped with local passes").
+
+    The shard is split into ``chunks`` STRIDED sub-arrays (element c, c+K,
+    c+2K, ... — a contiguous split would concentrate value ranges per chunk
+    and skew its buckets). Chunk 0 is sorted first and its quantiles seed
+    the global splitters; then each loop step k sorts chunk k while the
+    all-to-all of chunk k-1's buckets is in flight — the two are dataflow-
+    independent inside one step, so XLA's async collectives can overlap the
+    exchange with local sorting on real hardware. ``cap`` is the PER-CHUNK
+    per-bucket capacity.
+    """
+
+    def fn(enc, *values):
+        n = enc.shape[0]
+        shard_id = jax.lax.axis_index(axis_name)
+        gidx = (shard_id * n + jnp.arange(n, dtype=jnp.int32)).astype(jnp.int32)
+
+        def interleave(x):
+            return jax.lax.all_to_all(
+                x.reshape(num_shards, n // num_shards),
+                axis_name,
+                split_axis=0,
+                concat_axis=0,
+            ).reshape(-1)
+
+        enc = interleave(enc)
+        gidx = interleave(gidx)
+        values = [interleave(v) for v in values]
+
+        C = chunks
+
+        def chunk(x, c):
+            return x.reshape(n // C, C)[:, c]
+
+        def a2a(x):
+            return jax.lax.all_to_all(x, axis_name, split_axis=0, concat_axis=0)
+
+        def sort_chunk(c):
+            kc, gc, vc = _idx_sort(
+                chunk(enc, c), chunk(gidx, c), [chunk(v, c) for v in values]
+            )
+            return kc, gc, [gc] + vc
+
+        k0, g0, vs0 = sort_chunk(0)
+        splitters, splitters_g = _splitters_from_sorted(
+            k0, g0, axis_name, num_shards, oversample
+        )
+        prev = _build_send(k0, g0, vs0, splitters, splitters_g, num_shards, cap)
+        overflow = prev[3]
+        recv_ks, recv_vss, count = [], [], jnp.zeros((), jnp.int32)
+        for c in range(1, C):
+            # this chunk's local sort is independent of the previous
+            # chunk's exchange — the overlap window
+            kc, gc, vsc = sort_chunk(c)
+            recv_ks.append(a2a(prev[0]))
+            recv_vss.append([a2a(sv) for sv in prev[1]])
+            count = count + jnp.sum(a2a(prev[2]))
+            prev = _build_send(kc, gc, vsc, splitters, splitters_g, num_shards, cap)
+            overflow = overflow | prev[3]
+        recv_ks.append(a2a(prev[0]))
+        recv_vss.append([a2a(sv) for sv in prev[1]])
+        count = count + jnp.sum(a2a(prev[2]))
+
+        all_k = jnp.concatenate([r.reshape(-1) for r in recv_ks])
+        all_g = jnp.concatenate([rv[0].reshape(-1) for rv in recv_vss])
+        all_vs = [
+            jnp.concatenate([rv[1 + i].reshape(-1) for rv in recv_vss])
+            for i in range(len(values))
+        ]
+        out_k, out_gidx, out_vs = _idx_sort(all_k, all_g, all_vs)
         return (out_k, count.reshape(1), overflow.reshape(1)) + tuple(out_vs)
 
     return fn
@@ -193,6 +294,7 @@ def sort_sharded(
     slack: float = 2.0,
     oversample: int = 32,
     descending: bool = False,
+    overlap_chunks: int = 1,
 ):
     """Distributed stable sort of a 1-D array sharded over ``axis_name``.
 
@@ -208,6 +310,14 @@ def sort_sharded(
     (``padded_values`` matches the container shape). ``descending=True``
     reverses the key order with ties kept in original input order, via the
     same encoded-key bit-complement as the single-chip API.
+
+    ``overlap_chunks=K > 1`` selects the software-pipelined body: each shard
+    is split into K strided chunks and the all-to-all of chunk k-1 runs
+    dataflow-independent of chunk k's local sort, letting XLA overlap the
+    interconnect exchange with local compute (the reference has no
+    distribution at all; this is the north-star "exchange overlapped with
+    local passes"). Splitters come from chunk 0's quantiles, so balance is
+    slightly looser than the K=1 path — same overflow contract.
     """
     multi = isinstance(values, (tuple, list))
     vals = () if values is None else (tuple(values) if multi else (values,))
@@ -227,12 +337,25 @@ def sort_sharded(
     if n >= (1 << 31):
         raise NotImplementedError("N >= 2^31 needs int64 position carries")
     n_local = n // num_shards
-    cap = int(slack * n_local / num_shards) + 64
+    if overlap_chunks < 1:
+        raise ValueError(f"overlap_chunks must be >= 1, got {overlap_chunks}")
+    if overlap_chunks > 1 and n_local % overlap_chunks:
+        raise ValueError(
+            f"local shard size {n_local} must be a multiple of "
+            f"overlap_chunks={overlap_chunks}"
+        )
 
     enc = encode_keys(keys)
     if descending:
         enc = ~enc
-    fn = _partition_fn(axis_name, num_shards, cap, oversample)
+    if overlap_chunks > 1:
+        cap = int(slack * n_local / (overlap_chunks * num_shards)) + 64
+        fn = _partition_fn_overlapped(
+            axis_name, num_shards, cap, oversample, overlap_chunks
+        )
+    else:
+        cap = int(slack * n_local / num_shards) + 64
+        fn = _partition_fn(axis_name, num_shards, cap, oversample)
     spec = P(axis_name)
     out_specs = (spec, spec, spec) + tuple(spec for _ in vals)
     mapped = jax.shard_map(
@@ -277,6 +400,7 @@ def sort_distributed(
     slack: float = 2.0,
     oversample: int = 32,
     descending: bool = False,
+    overlap_chunks: int = 1,
 ):
     """Host-driving convenience around :func:`sort_sharded`: runs the
     distributed sort, checks the overflow flag, and retries with doubled
@@ -297,6 +421,7 @@ def sort_distributed(
             slack=slack,
             oversample=oversample,
             descending=descending,
+            overlap_chunks=overlap_chunks,
         )
         if not np.any(np.asarray(res[2])):
             if values is None:
