@@ -180,6 +180,24 @@ def test_sort_sharded_overlapped_kv_stable(rng):
     np.testing.assert_array_equal(got_v, perm.astype(np.int32))
 
 
+def test_sort_sharded_overlapped_periodic_adversary(rng):
+    # Key pattern periodic in the chunk stride: even original positions get
+    # high keys, odd get low. With overlap_chunks=2 and splitters sampled
+    # from chunk 0 ONLY, chunk 1 (all-low keys) would dump entirely below
+    # the first splitter and overflow at any practical slack; the mixed
+    # chunk-0-quantiles + raw-other-chunk sampling must keep it in budget.
+    n = 8 * 4096
+    pos = np.arange(n, dtype=np.uint32)
+    keys = np.where(pos % 2 == 0, np.uint32(0x80000000) + pos, pos).astype(np.uint32)
+    mesh = _mesh()
+    pk, counts, overflow = sort_sharded(
+        jnp.asarray(keys), mesh, overlap_chunks=2, slack=3.0
+    )
+    assert not np.any(np.asarray(overflow)), "periodic adversary overflowed"
+    got = gather_sorted(pk, counts)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
 def test_sort_distributed_overlapped_retry(rng):
     n = 8 * 4096
     keys = make_keys(rng, n, np.uint32, "zipf")

@@ -48,20 +48,19 @@ from vkradixsort_tpu.ops.common import (
 P = jax.sharding.PartitionSpec
 
 
-def _splitters_from_sorted(k_sorted, gidx_s, axis_name, num_shards, oversample):
-    """Global composite (key, position) splitters from each shard's sorted
-    sample quantiles: oversample*P local quantiles -> all_gather -> global
-    quantiles of the gathered sample."""
-    n = k_sorted.shape[0]
-    num_s = min(oversample * num_shards, n)
-    pos = (jnp.arange(num_s, dtype=jnp.int32) * n) // num_s + n // (2 * num_s)
-    pos = jnp.minimum(pos, n - 1)
-    samples = jnp.take(k_sorted, pos)
-    samples_g = jnp.take(gidx_s, pos)
-    all_samples = jax.lax.all_gather(samples, axis_name).reshape(-1)
-    all_samples_g = jax.lax.all_gather(samples_g, axis_name).reshape(-1)
-    sk, sg, _ = _idx_sort(all_samples, all_samples_g, [])
-    step = all_samples.shape[0] // num_shards
+def _quantile_positions(n: int, m: int) -> jnp.ndarray:
+    """m regular sample positions (bucket midpoints) in [0, n)."""
+    pos = (jnp.arange(m, dtype=jnp.int32) * n) // m + n // (2 * m)
+    return jnp.minimum(pos, n - 1)
+
+
+def _global_quantiles(local_k, local_g, axis_name, num_shards):
+    """all_gather every shard's local splitter candidates, sort the pooled
+    composite (key, position) sample, and return its P-1 global quantiles."""
+    all_k = jax.lax.all_gather(local_k, axis_name).reshape(-1)
+    all_g = jax.lax.all_gather(local_g, axis_name).reshape(-1)
+    sk, sg, _ = _idx_sort(all_k, all_g, [])
+    step = max(all_k.shape[0] // num_shards, 1)
     return sk[step::step][: num_shards - 1], sg[step::step][: num_shards - 1]
 
 
@@ -114,8 +113,20 @@ def _partition_fn(
     num_shards: int,
     cap: int,
     oversample: int,
+    chunks: int = 1,
 ):
-    """The per-shard shard_map body. Operates on encoded uint32/64 keys."""
+    """The per-shard shard_map body. Operates on encoded uint32/64 keys.
+
+    ``chunks=1`` is the plain single-exchange pipeline. ``chunks=K > 1`` is
+    the software-pipelined variant (the north star's "exchange overlapped
+    with local passes"): the shard splits into K STRIDED sub-arrays
+    (element c, c+K, c+2K, ... — a contiguous split would concentrate value
+    ranges per chunk and skew its buckets), and each loop step sorts chunk
+    k while the all-to-all of chunk k-1's buckets is in flight — the two
+    are dataflow-independent inside one step, so XLA's async collectives
+    can overlap the exchange with local sorting on real hardware. ``cap``
+    is the PER-CHUNK per-bucket capacity.
+    """
 
     def fn(enc, *values):
         n = enc.shape[0]
@@ -141,117 +152,80 @@ def _partition_fn(
         gidx = interleave(gidx)
         values = [interleave(v) for v in values]
 
-        # 1. Local sort with the global position as tiebreak key
-        # (deterministic total order == stable w.r.t. the original layout).
-        k_sorted, gidx_s, vs = _idx_sort(enc, gidx, list(values))
-
-        # 2. Oversampled splitters from the gathered sample. Splitters are
-        # (key, original-position) composites: partitioning by the composite
-        # splits runs of equal keys across buckets, so duplicate-heavy
-        # (even constant) inputs stay balanced.
-        splitters, splitters_g = _splitters_from_sorted(
-            k_sorted, gidx_s, axis_name, num_shards, oversample
-        )
-
-        # 3.+4. Composite bucket boundaries (O(P log n) vectorized bisection
-        # — the shard is sorted by exactly the composite order) and
-        # static-shape sentinel-padded send buffers. The gidx carry rides at
-        # vs[0] with padding fill INT32_MAX: a real key can equal the key
-        # sentinel, and gidx-max makes padding sort strictly AFTER every
-        # real pair inside a sentinel-key run, so such pairs keep payloads.
-        vs = [gidx_s] + vs
-        send_k, send_vs, lens, overflow = _build_send(
-            k_sorted, gidx_s, vs, splitters, splitters_g, num_shards, cap
-        )
-
-        # 5. One all-to-all over the mesh axis; then the tiebreak local sort.
-        recv_k = jax.lax.all_to_all(send_k, axis_name, split_axis=0, concat_axis=0)
-        recv_vs = [
-            jax.lax.all_to_all(sv, axis_name, split_axis=0, concat_axis=0)
-            for sv in send_vs
-        ]
-        out_k, out_gidx, out_vs = _idx_sort(
-            recv_k.reshape(-1),
-            recv_vs[0].reshape(-1),
-            [rv.reshape(-1) for rv in recv_vs[1:]],
-        )
-        count = jnp.sum(jax.lax.all_to_all(lens, axis_name, split_axis=0, concat_axis=0))
-        return (out_k, count.reshape(1), overflow.reshape(1)) + tuple(out_vs)
-
-    return fn
-
-
-def _partition_fn_overlapped(
-    axis_name: str,
-    num_shards: int,
-    cap: int,
-    oversample: int,
-    chunks: int,
-):
-    """Software-pipelined shard_map body (the north star's "exchange
-    overlapped with local passes").
-
-    The shard is split into ``chunks`` STRIDED sub-arrays (element c, c+K,
-    c+2K, ... — a contiguous split would concentrate value ranges per chunk
-    and skew its buckets). Chunk 0 is sorted first and its quantiles seed
-    the global splitters; then each loop step k sorts chunk k while the
-    all-to-all of chunk k-1's buckets is in flight — the two are dataflow-
-    independent inside one step, so XLA's async collectives can overlap the
-    exchange with local sorting on real hardware. ``cap`` is the PER-CHUNK
-    per-bucket capacity.
-    """
-
-    def fn(enc, *values):
-        n = enc.shape[0]
-        shard_id = jax.lax.axis_index(axis_name)
-        gidx = (shard_id * n + jnp.arange(n, dtype=jnp.int32)).astype(jnp.int32)
-
-        def interleave(x):
-            return jax.lax.all_to_all(
-                x.reshape(num_shards, n // num_shards),
-                axis_name,
-                split_axis=0,
-                concat_axis=0,
-            ).reshape(-1)
-
-        enc = interleave(enc)
-        gidx = interleave(gidx)
-        values = [interleave(v) for v in values]
-
         C = chunks
+        n_chunk = n // C
 
         def chunk(x, c):
-            return x.reshape(n // C, C)[:, c]
+            return x.reshape(n_chunk, C)[:, c]
 
         def a2a(x):
             return jax.lax.all_to_all(x, axis_name, split_axis=0, concat_axis=0)
 
         def sort_chunk(c):
+            # Local sort with the global position as tiebreak key
+            # (deterministic total order == stable w.r.t. original layout).
+            # The gidx carry rides at vs[0] with padding fill INT32_MAX in
+            # _build_send: a real key can equal the key sentinel, and
+            # gidx-max makes padding sort strictly AFTER every real pair
+            # inside a sentinel-key run, so such pairs keep their payloads.
             kc, gc, vc = _idx_sort(
                 chunk(enc, c), chunk(gidx, c), [chunk(v, c) for v in values]
             )
             return kc, gc, [gc] + vc
 
         k0, g0, vs0 = sort_chunk(0)
-        splitters, splitters_g = _splitters_from_sorted(
-            k0, g0, axis_name, num_shards, oversample
+
+        # Splitter candidates. Composite (key, original-position) splitters
+        # split runs of equal keys across buckets, so duplicate-heavy (even
+        # constant) inputs stay balanced. At C=1 chunk 0 IS the whole
+        # sorted shard, so candidates are its exact quantiles; at C>1 half
+        # come from sorted chunk 0 and the rest are raw strided samples
+        # from every other chunk — sampling only chunk 0 would let any key
+        # pattern periodic in the chunk stride C concentrate the other
+        # chunks' buckets arbitrarily far from the chunk-0 estimate.
+        num_s = min(oversample * num_shards, n_chunk)
+        if C == 1:
+            cand_k = jnp.take(k0, _quantile_positions(n_chunk, num_s))
+            cand_g = jnp.take(g0, _quantile_positions(n_chunk, num_s))
+        else:
+            half = max(num_s // 2, 1)
+            pos0 = _quantile_positions(n_chunk, half)
+            m = max((num_s - half) // (C - 1), 1)
+            pos_raw = _quantile_positions(n_chunk, m)
+            cand_k = jnp.concatenate(
+                [jnp.take(k0, pos0)]
+                + [jnp.take(chunk(enc, c), pos_raw) for c in range(1, C)]
+            )
+            cand_g = jnp.concatenate(
+                [jnp.take(g0, pos0)]
+                + [jnp.take(chunk(gidx, c), pos_raw) for c in range(1, C)]
+            )
+        splitters, splitters_g = _global_quantiles(
+            cand_k, cand_g, axis_name, num_shards
         )
+
+        # Pipeline: bucket bounds via O(P log n) composite bisection (the
+        # chunk is sorted by exactly that composite order), static-shape
+        # sentinel-padded send buffers, one all-to-all per chunk. Each
+        # step's local sort is independent of the previous chunk's
+        # exchange — the overlap window.
         prev = _build_send(k0, g0, vs0, splitters, splitters_g, num_shards, cap)
         overflow = prev[3]
-        recv_ks, recv_vss, count = [], [], jnp.zeros((), jnp.int32)
+        lens_total = prev[2]
+        recv_ks, recv_vss = [], []
         for c in range(1, C):
-            # this chunk's local sort is independent of the previous
-            # chunk's exchange — the overlap window
             kc, gc, vsc = sort_chunk(c)
             recv_ks.append(a2a(prev[0]))
             recv_vss.append([a2a(sv) for sv in prev[1]])
-            count = count + jnp.sum(a2a(prev[2]))
             prev = _build_send(kc, gc, vsc, splitters, splitters_g, num_shards, cap)
             overflow = overflow | prev[3]
+            lens_total = lens_total + prev[2]
         recv_ks.append(a2a(prev[0]))
         recv_vss.append([a2a(sv) for sv in prev[1]])
-        count = count + jnp.sum(a2a(prev[2]))
 
+        # Tiebreak local sort of everything received; per-chunk sums of
+        # lens commute with the elementwise all-to-all, so ONE tiny lens
+        # exchange covers all chunks.
         all_k = jnp.concatenate([r.reshape(-1) for r in recv_ks])
         all_g = jnp.concatenate([rv[0].reshape(-1) for rv in recv_vss])
         all_vs = [
@@ -259,6 +233,7 @@ def _partition_fn_overlapped(
             for i in range(len(values))
         ]
         out_k, out_gidx, out_vs = _idx_sort(all_k, all_g, all_vs)
+        count = jnp.sum(a2a(lens_total))
         return (out_k, count.reshape(1), overflow.reshape(1)) + tuple(out_vs)
 
     return fn
@@ -316,8 +291,9 @@ def sort_sharded(
     dataflow-independent of chunk k's local sort, letting XLA overlap the
     interconnect exchange with local compute (the reference has no
     distribution at all; this is the north-star "exchange overlapped with
-    local passes"). Splitters come from chunk 0's quantiles, so balance is
-    slightly looser than the K=1 path — same overflow contract.
+    local passes"). Splitters blend chunk 0's sorted quantiles with raw
+    strided samples from every other chunk, so balance is slightly looser
+    than the K=1 exact-quantile path — same overflow contract.
     """
     multi = isinstance(values, (tuple, list))
     vals = () if values is None else (tuple(values) if multi else (values,))
@@ -348,14 +324,8 @@ def sort_sharded(
     enc = encode_keys(keys)
     if descending:
         enc = ~enc
-    if overlap_chunks > 1:
-        cap = int(slack * n_local / (overlap_chunks * num_shards)) + 64
-        fn = _partition_fn_overlapped(
-            axis_name, num_shards, cap, oversample, overlap_chunks
-        )
-    else:
-        cap = int(slack * n_local / num_shards) + 64
-        fn = _partition_fn(axis_name, num_shards, cap, oversample)
+    cap = int(slack * n_local / (overlap_chunks * num_shards)) + 64
+    fn = _partition_fn(axis_name, num_shards, cap, oversample, overlap_chunks)
     spec = P(axis_name)
     out_specs = (spec, spec, spec) + tuple(spec for _ in vals)
     mapped = jax.shard_map(
