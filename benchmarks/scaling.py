@@ -51,19 +51,23 @@ def main() -> None:
                     choices=["uniform", "uniform28", "descending", "constant", "zipf"])
     ap.add_argument("--oversample", type=int, default=32)
     ap.add_argument("--slack", type=float, default=2.0)
+    ap.add_argument("--overlap-chunks", type=int, default=1,
+                    help="software-pipelined body with K chunks (1 = plain)")
     args = ap.parse_args()
 
     from vkradixsort_tpu.parallel.distributed import gather_sorted, sort_sharded
     from vkradixsort_tpu.utils.fixtures import make_keys
 
     rng = np.random.default_rng(0x5CA1E)
-    print("P,balance_max_over_mean,shuffle_bytes_per_chip,ideal_bytes,overflow,exact")
+    C = args.overlap_chunks
+    print("P,chunks,balance_max_over_mean,shuffle_bytes_per_chip,ideal_bytes,overflow,exact")
     for P in [2, 4, 8]:
-        n = (args.n // (P * P)) * (P * P)
+        n = (args.n // (P * P * C)) * (P * P * C)
         keys = make_keys(rng, n, np.uint32, args.dist)
         mesh = jax.sharding.Mesh(np.asarray(jax.devices("cpu")[:P]), ("x",))
         pk, counts, overflow = sort_sharded(
-            jnp.asarray(keys), mesh, slack=args.slack, oversample=args.oversample
+            jnp.asarray(keys), mesh, slack=args.slack,
+            oversample=args.oversample, overlap_chunks=C,
         )
         counts = np.asarray(counts)
         got = gather_sorted(pk, counts)
@@ -71,10 +75,10 @@ def main() -> None:
         balance = counts.max() / counts.mean()
         # every key leaves its home shard with prob (P-1)/P in expectation;
         # measured volume = what the padded exchange actually ships
-        cap = int(args.slack * (n // P) / P) + 64
-        shipped = P * cap * keys.dtype.itemsize  # per chip, padded buffers
+        cap = int(args.slack * (n // P) / (C * P)) + 64
+        shipped = C * P * cap * keys.dtype.itemsize  # per chip, padded buffers
         ideal = (n // P) * keys.dtype.itemsize
-        print(f"{P},{balance:.4f},{shipped},{ideal},{bool(np.any(overflow))},{exact}")
+        print(f"{P},{C},{balance:.4f},{shipped},{ideal},{bool(np.any(overflow))},{exact}")
 
 
 if __name__ == "__main__":
