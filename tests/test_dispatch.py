@@ -144,14 +144,28 @@ def test_argsort_stable_all_engines(rng):
         np.testing.assert_array_equal(perm, np.argsort(k, kind="stable"))
 
 
-def test_argsort_packed_fast_path(rng):
+def test_argsort_packed_fast_path(rng, monkeypatch):
     # backend="tiled" + x64 on (conftest) + 32-bit-encoded keys hits the
     # packed (key<<32 | position) i64 fast path; heavy ties prove the
     # position tiebreak delivers the STABLE permutation, and float32 keys
-    # prove it composes with the total-order encoding.
+    # prove it composes with the total-order encoding. A spy on
+    # segsort.sort_flat asserts the fast ROUTE actually fired — the
+    # fallback carry path would return the identical permutation and
+    # silently hide a dead fast path.
+    from vkradixsort_tpu.ops import segsort
+
+    calls = []
+    real_sort_flat = segsort.sort_flat
+    monkeypatch.setattr(
+        segsort,
+        "sort_flat",
+        lambda *a, **kw: (calls.append(1), real_sort_flat(*a, **kw))[1],
+    )
+
     k = make_keys(rng, 50_000, np.uint32, "uniform") % 7
     perm = np.asarray(vk.argsort(jnp.asarray(k), config=CFG, backend="tiled"))
     np.testing.assert_array_equal(perm, np.argsort(k, kind="stable"))
+    assert calls, "packed argsort fast path did not fire"
 
     kf = rng.standard_normal(50_000).astype(np.float32)
     kf[::17] = kf[0]  # ties

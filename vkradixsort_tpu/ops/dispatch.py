@@ -40,7 +40,7 @@ import numpy as np
 
 from vkradixsort_tpu.engine.config import DEFAULT_CONFIG, SortConfig
 from vkradixsort_tpu.ops import reference
-from vkradixsort_tpu.ops.common import decode_keys, encode_keys
+from vkradixsort_tpu.ops.common import decode_keys, encode_keys, sortable_dtype
 
 ENGINES = ("tiled", "bitonic", "fused", "samplesort", "radix_tiled", "reference")
 
@@ -212,7 +212,7 @@ def sort_pairs(
     if descending:
         out_k = ~out_k
     keys_out = decode_keys(out_k, keys.dtype)
-    return keys_out, (tuple(out_vs) if multi else out_vs[0])
+    return keys_out, (type(values)(out_vs) if multi else out_vs[0])
 
 
 def argsort(
@@ -235,18 +235,23 @@ def argsort(
         raise ValueError(f"argsort expects 1-D keys, got shape {keys.shape}")
     n = keys.shape[0]
     path = _route(n, config, backend)
-    if path == "tiled" and jax.config.jax_enable_x64 and n < (1 << 32):
-        _check_f64_on_tpu(keys)
-        enc = encode_keys(keys)
-        if enc.dtype == jnp.uint32:
-            from vkradixsort_tpu.ops import segsort
+    if (
+        path == "tiled"
+        and jax.config.jax_enable_x64
+        and n < (1 << 32)
+        # dtype metadata decides eligibility BEFORE encoding: encoding and
+        # then discarding for 64-bit keys would waste a full-array pass
+        and sortable_dtype(keys.dtype) == jnp.dtype(jnp.uint32)
+    ):
+        from vkradixsort_tpu.ops import segsort
 
-            if descending:
-                enc = ~enc
-            idx = jnp.arange(n, dtype=jnp.uint64)
-            packed = (enc.astype(jnp.uint64) << np.uint64(32)) | idx
-            sp = segsort.sort_flat(packed, stable=False)
-            return (sp & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        enc = encode_keys(keys)
+        if descending:
+            enc = ~enc
+        idx = jnp.arange(n, dtype=jnp.uint64)
+        packed = (enc.astype(jnp.uint64) << np.uint64(32)) | idx
+        sp = segsort.sort_flat(packed, stable=False)
+        return (sp & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     idx_dtype = jnp.uint32 if n < (1 << 32) else jnp.uint64
     idx = jnp.arange(n, dtype=idx_dtype)
     _, perm = sort_pairs(keys, idx, config=config, backend=backend, descending=descending)
@@ -291,4 +296,4 @@ def sort_segments(
     out_k = decode_keys(out_enc, keys.dtype)
     if values is None:
         return out_k
-    return out_k, (tuple(out[1:]) if multi else out[1])
+    return out_k, (type(values)(out[1:]) if multi else out[1])

@@ -220,7 +220,7 @@ def _sort_fused_impl(enc, values_u, config: SortConfig, has_values: bool, value_
     # (measured 8-21 MINUTES vs ~5 s for every nb>=2 shape on v5e); the
     # extra 4096 sentinel elements cost microseconds at runtime.
     e = round_up(max(n, 8192), 4096)
-    eb = min(4096, e)
+    eb = 4096  # block width; e >= 2*eb guarantees nb >= 2 (see floor above)
     R = e // LANES
 
     key_planes = _to_planes(pad_to(enc, e), R)

@@ -342,7 +342,7 @@ def sort_sharded(
     out_keys = decode_keys(out_k, keys.dtype)
     if values is None:
         return out_keys, counts, overflow
-    return out_keys, counts, overflow, (tuple(res[3:]) if multi else res[3])
+    return out_keys, counts, overflow, (type(values)(res[3:]) if multi else res[3])
 
 
 def gather_sorted(padded_keys, counts, padded_values=None):
@@ -358,7 +358,7 @@ def gather_sorted(padded_keys, counts, padded_values=None):
     if padded_values is None:
         return out_k
     if isinstance(padded_values, (tuple, list)):
-        return out_k, tuple(strip(pv) for pv in padded_values)
+        return out_k, type(padded_values)(strip(pv) for pv in padded_values)
     return out_k, strip(padded_values)
 
 
