@@ -50,7 +50,8 @@ def main() -> None:
     ap.add_argument("--op", default=None, choices=["keys", "kv", "argsort"],
                     help="operation to sweep (overrides --kv; argsort enables x64 "
                          "and exercises the packed-i64 fast path on 'tiled')")
-    ap.add_argument("--dtype", default="uint32", choices=["uint32", "uint64"])
+    ap.add_argument("--dtype", default="uint32",
+                    choices=["uint32", "uint64", "float32", "int32"])
     ap.add_argument("--csv", default="sweep.csv", help="CSV output path (appends)")
     ap.add_argument("--verify-max", type=int, default=20_000_000,
                     help="exact host verification up to this N (device-side sortedness above)")
@@ -69,6 +70,9 @@ def main() -> None:
 
     op = args.op or ("kv" if args.kv else "keys")
     args.kv = op == "kv"
+    if np.dtype(args.dtype).kind in "fi" and op != "keys":
+        ap.error("float/signed key dtypes currently sweep --op keys only "
+                 "(the kv/argsort timing chains carry unsigned bits)")
     if args.dtype == "uint64" or op == "argsort":
         jax.config.update("jax_enable_x64", True)
 
@@ -123,7 +127,21 @@ def main() -> None:
                         return vk.sort(kk, backend=_e)
 
                     out_k = jax.jit(f)(keys)
-                    dt = measure_seconds_per_call(jax.jit(f), keys, reps=4)
+                    if dtype.kind in "fi":
+                        # the timing chain remixes uint bits between reps;
+                        # carry float/signed keys as their unsigned bit
+                        # pattern and reinterpret inside the timed fn
+                        cdt = jnp.uint32 if dtype.itemsize == 4 else jnp.uint64
+                        jdt = jnp.dtype(dtype)
+
+                        def f_bits(kb, _e=engine, _c=cdt, _j=jdt):
+                            return vk.sort(kb.view(_j), backend=_e).view(_c)
+
+                        dt = measure_seconds_per_call(
+                            jax.jit(f_bits), keys.view(cdt), reps=4
+                        )
+                    else:
+                        dt = measure_seconds_per_call(jax.jit(f), keys, reps=4)
             except Exception as e:
                 log(f"  {engine:12s} n={n:>12,}: FAILED {type(e).__name__}: {str(e)[:100]}")
                 continue
