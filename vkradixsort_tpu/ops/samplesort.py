@@ -206,8 +206,8 @@ def _pick_geometry(n: int, tile_target: int, bucket_target: int, slack: float):
 def sort_samplesort(
     enc: jnp.ndarray,
     *,
-    tile_target: int = 1 << 21,
-    bucket_target: int = 1 << 21,
+    tile_target: int = 1 << 19,
+    bucket_target: int = 1 << 19,
     oversample: int = 32,
     slack: float = 1.35,
     interpret: bool = False,
@@ -216,6 +216,12 @@ def sort_samplesort(
 
     Keys-only (duplicates interchangeable); key-value pairs go through
     :func:`sort_pairs_samplesort`, which carries positions for stability.
+
+    ``tile_target``/``bucket_target`` are the grain knob — the analog of
+    the reference's NUM_BLOCKS_PER_WORKGROUP (reference README.md:253-264).
+    Defaults follow the measured sweep at 1e8 on v5e
+    (benchmarks/results/v5e_samplesort_grain_1e8.csv: 2^19 -> 491.5 ms vs
+    2^21 -> 521.1 ms; benchmarks/grain_sweep.py re-measures).
     """
     n = enc.shape[0]
     if n == 0:
@@ -288,8 +294,8 @@ def sort_pairs_samplesort(
     enc: jnp.ndarray,
     values: jnp.ndarray,
     *,
-    tile_target: int = 1 << 21,
-    bucket_target: int = 1 << 21,
+    tile_target: int = 1 << 19,
+    bucket_target: int = 1 << 19,
     oversample: int = 32,
     slack: float = 1.35,
     interpret: bool = False,
