@@ -294,8 +294,11 @@ def sort_pairs_samplesort(
     enc: jnp.ndarray,
     values: jnp.ndarray,
     *,
-    tile_target: int = 1 << 19,
-    bucket_target: int = 1 << 19,
+    # kv keeps 2^21 (NOT the keys-only 2^19 optimum): the 3-plane DMA
+    # placement is descriptor-bound, and smaller tiles mean more runs —
+    # measured 817.6 ms at 2^19 vs 787 ms at 2^21 for 1e8 pairs on v5e.
+    tile_target: int = 1 << 21,
+    bucket_target: int = 1 << 21,
     oversample: int = 32,
     slack: float = 1.35,
     interpret: bool = False,
