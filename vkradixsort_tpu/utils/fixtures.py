@@ -24,7 +24,9 @@ def make_keys(rng, n, dtype=np.uint32, distribution="uniform28"):
             return rng.integers(info.min, int(info.max), size=n, dtype=dtype)
         return (rng.random(n) * 2 - 1).astype(dtype) * 1e6
     if distribution == "descending":
-        return (np.arange(n, 0, -1) % np.iinfo(dtype).max).astype(dtype)
+        # go through uint64: iinfo(uint64).max does not fit the int64 arange
+        arr = np.arange(n, 0, -1).astype(np.uint64)
+        return (arr % np.uint64(np.iinfo(dtype).max)).astype(dtype)
     if distribution == "constant":
         return np.full(n, 42, dtype=dtype)
     if distribution == "zipf":
