@@ -206,6 +206,19 @@ def test_sort_distributed_overlapped_retry(rng):
     np.testing.assert_array_equal(got, np.sort(keys))
 
 
+def test_sort_sharded_empty(rng):
+    mesh = _mesh()
+    keys = jnp.zeros((0,), jnp.uint32)
+    pk, counts, overflow = sort_sharded(keys, mesh)
+    assert pk.shape == (0,)
+    assert np.asarray(counts).sum() == 0 and not np.any(np.asarray(overflow))
+    pk, counts, overflow, pv = sort_sharded(
+        keys, mesh, values=jnp.zeros((0,), jnp.int32)
+    )
+    assert pv.shape == (0,)
+    assert gather_sorted(pk, counts).shape == (0,)
+
+
 def test_sort_sharded_jit_compatible(rng):
     # The whole distributed sort inside a user jit.
     keys = make_keys(rng, 8 * 1024, np.uint32, "uniform")

@@ -57,9 +57,12 @@ class TPUContext:
         d = self._devices[0]
         kind = getattr(d, "device_kind", d.platform)
         vmem = 16 * 2**20
-        for prefix, budget in _VMEM_BYTES.items():
+        # longest-prefix-first with break: "TPU v5" and "TPU v5p" overlap,
+        # and iterating in dict order would silently make the LAST match win
+        for prefix in sorted(_VMEM_BYTES, key=len, reverse=True):
             if kind.lower().startswith(prefix.lower()):
-                vmem = budget
+                vmem = _VMEM_BYTES[prefix]
+                break
         return DeviceInfo(
             kind=kind,
             num_devices=len(self._devices),

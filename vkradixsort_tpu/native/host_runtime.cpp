@@ -27,23 +27,69 @@ unsigned hw_threads() {
   return t ? t : 4;
 }
 
+// One shared chunk-boundary plan so every phase of a multi-phase algorithm
+// partitions [0, n) identically (the radix passes depend on that).
+struct ChunkPlan {
+  unsigned nt;
+  std::size_t chunk;
+};
+
+ChunkPlan plan_chunks(std::size_t n) {
+  unsigned nt =
+      std::min<std::size_t>(hw_threads(), std::max<std::size_t>(n / 65536, 1));
+  if (nt < 1) nt = 1;
+  return {nt, (n + nt - 1) / nt};
+}
+
 // Parallel for over [0, n) in contiguous chunks.
 template <typename F>
 void parallel_chunks(std::size_t n, F&& fn) {
-  unsigned nt = std::min<std::size_t>(hw_threads(), std::max<std::size_t>(n / 65536, 1));
-  if (nt <= 1) {
+  ChunkPlan p = plan_chunks(n);
+  if (p.nt <= 1) {
     fn(std::size_t{0}, n, 0u);
     return;
   }
   std::vector<std::thread> threads;
-  std::size_t chunk = (n + nt - 1) / nt;
-  for (unsigned t = 0; t < nt; ++t) {
-    std::size_t lo = t * chunk;
-    std::size_t hi = std::min(n, lo + chunk);
+  for (unsigned t = 0; t < p.nt; ++t) {
+    std::size_t lo = t * p.chunk;
+    std::size_t hi = std::min(n, lo + p.chunk);
     if (lo >= hi) break;
     threads.emplace_back([&, lo, hi, t] { fn(lo, hi, t); });
   }
   for (auto& th : threads) th.join();
+}
+
+// Parallel for over a FIXED grid of kSeedChunks chunks, independent of
+// hardware_concurrency: seeded generation derives per-chunk generators from
+// the chunk index, so the same seed must mean the same chunk boundaries on
+// every machine.
+constexpr unsigned kSeedChunks = 64;
+
+template <typename F>
+void seeded_chunks(std::size_t n, F&& fn) {
+  std::size_t chunk = (n + kSeedChunks - 1) / kSeedChunks;
+  unsigned nt = std::min<unsigned>(hw_threads(), kSeedChunks);
+  auto worker = [&](unsigned t) {
+    for (unsigned c = t; c < kSeedChunks; c += nt) {
+      std::size_t lo = std::size_t{c} * chunk;
+      std::size_t hi = std::min(n, lo + chunk);
+      if (lo < hi) fn(lo, hi, c);
+    }
+  };
+  if (nt <= 1) {
+    worker(0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (unsigned t = 0; t < nt; ++t) threads.emplace_back([&, t] { worker(t); });
+  for (auto& th : threads) th.join();
+}
+
+// Record the smallest mismatching index across racing threads.
+void atomic_min_index(std::atomic<std::int64_t>& first, std::int64_t mine) {
+  std::int64_t cur = first.load(std::memory_order_relaxed);
+  while ((cur == -1 || cur > mine) && !first.compare_exchange_weak(cur, mine)) {
+  }
 }
 
 // One stable LSD pass over 8-bit digit `shift` with per-thread histograms:
@@ -54,23 +100,10 @@ void parallel_chunks(std::size_t n, F&& fn) {
 template <typename K, typename V>
 void radix_pass(const K* in_k, const V* in_v, K* out_k, V* out_v,
                 std::size_t n, unsigned shift) {
-  unsigned nt = std::min<std::size_t>(hw_threads(), std::max<std::size_t>(n / 65536, 1));
-  if (nt < 1) nt = 1;
-  std::size_t chunk = (n + nt - 1) / nt;
+  unsigned nt = plan_chunks(n).nt;  // parallel_chunks partitions identically
   std::vector<std::size_t> hist(std::size_t{256} * nt, 0);
 
-  auto run = [&](auto&& body) {
-    if (nt == 1) {
-      body(0u);
-      return;
-    }
-    std::vector<std::thread> threads;
-    for (unsigned t = 0; t < nt; ++t) threads.emplace_back([&, t] { body(t); });
-    for (auto& th : threads) th.join();
-  };
-
-  run([&](unsigned t) {
-    std::size_t lo = t * chunk, hi = std::min(n, lo + chunk);
+  parallel_chunks(n, [&](std::size_t lo, std::size_t hi, unsigned t) {
     std::size_t* h = &hist[std::size_t{256} * t];
     for (std::size_t i = lo; i < hi; ++i) h[(in_k[i] >> shift) & 0xFF]++;
   });
@@ -86,8 +119,7 @@ void radix_pass(const K* in_k, const V* in_v, K* out_k, V* out_v,
     }
   }
 
-  run([&](unsigned t) {
-    std::size_t lo = t * chunk, hi = std::min(n, lo + chunk);
+  parallel_chunks(n, [&](std::size_t lo, std::size_t hi, unsigned t) {
     std::size_t* base = &hist[std::size_t{256} * t];
     for (std::size_t i = lo; i < hi; ++i) {
       std::size_t d = (in_k[i] >> shift) & 0xFF;
@@ -127,8 +159,9 @@ extern "C" {
 void vkrs_generate_u32(std::uint64_t seed, std::uint32_t lo, std::uint32_t hi,
                        std::uint32_t* out, std::size_t n) {
   // Uniform in [lo, hi] like the reference's distribution(0, 0x0FFFFFFF).
-  // Seeded per-thread (seed, thread) so generation parallelizes.
-  parallel_chunks(n, [&](std::size_t a, std::size_t b, unsigned t) {
+  // Seeded per fixed chunk (seed, chunk) so generation parallelizes AND the
+  // same seed reproduces the identical array on any machine.
+  seeded_chunks(n, [&](std::size_t a, std::size_t b, unsigned t) {
     std::mt19937 gen(static_cast<std::uint32_t>(seed * 0x9E3779B9u + t));
     std::uniform_int_distribution<std::uint32_t> dist(lo, hi);
     for (std::size_t i = a; i < b; ++i) out[i] = dist(gen);
@@ -137,7 +170,7 @@ void vkrs_generate_u32(std::uint64_t seed, std::uint32_t lo, std::uint32_t hi,
 
 void vkrs_generate_u64(std::uint64_t seed, std::uint64_t lo, std::uint64_t hi,
                        std::uint64_t* out, std::size_t n) {
-  parallel_chunks(n, [&](std::size_t a, std::size_t b, unsigned t) {
+  seeded_chunks(n, [&](std::size_t a, std::size_t b, unsigned t) {
     std::mt19937_64 gen(seed * 0x9E3779B97F4A7C15ull + t);
     std::uniform_int_distribution<std::uint64_t> dist(lo, hi);
     for (std::size_t i = a; i < b; ++i) out[i] = dist(gen);
@@ -204,13 +237,7 @@ std::int64_t vkrs_first_mismatch_u32(const std::uint32_t* a,
   parallel_chunks(n, [&](std::size_t lo, std::size_t hi, unsigned) {
     for (std::size_t i = lo; i < hi; ++i) {
       if (a[i] != b[i]) {
-        std::int64_t expect = -1;
-        std::int64_t mine = static_cast<std::int64_t>(i);
-        std::int64_t cur = first.load(std::memory_order_relaxed);
-        do {
-          if (cur != -1 && cur <= mine) break;
-          expect = cur;
-        } while (!first.compare_exchange_weak(cur, mine));
+        atomic_min_index(first, static_cast<std::int64_t>(i));
         return;
       }
     }
@@ -224,11 +251,7 @@ std::int64_t vkrs_first_mismatch_u64(const std::uint64_t* a,
   parallel_chunks(n, [&](std::size_t lo, std::size_t hi, unsigned) {
     for (std::size_t i = lo; i < hi; ++i) {
       if (a[i] != b[i]) {
-        std::int64_t mine = static_cast<std::int64_t>(i);
-        std::int64_t cur = first.load(std::memory_order_relaxed);
-        while ((cur == -1 || cur > mine) &&
-               !first.compare_exchange_weak(cur, mine)) {
-        }
+        atomic_min_index(first, static_cast<std::int64_t>(i));
         return;
       }
     }
@@ -244,11 +267,7 @@ std::int64_t vkrs_first_unsorted_u32(const std::uint32_t* a, std::size_t n) {
   parallel_chunks(n - 1, [&](std::size_t lo, std::size_t hi, unsigned) {
     for (std::size_t i = lo; i < hi; ++i) {
       if (a[i] > a[i + 1]) {
-        std::int64_t mine = static_cast<std::int64_t>(i);
-        std::int64_t cur = first.load(std::memory_order_relaxed);
-        while ((cur == -1 || cur > mine) &&
-               !first.compare_exchange_weak(cur, mine)) {
-        }
+        atomic_min_index(first, static_cast<std::int64_t>(i));
         return;
       }
     }

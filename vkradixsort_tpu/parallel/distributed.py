@@ -324,6 +324,19 @@ def sort_sharded(
     enc = encode_keys(keys)
     if descending:
         enc = ~enc
+    if n == 0:
+        # nothing to exchange: zero counts, no overflow, input passes through
+        spec0 = jax.sharding.NamedSharding(mesh, P(axis_name))
+        counts = jax.lax.with_sharding_constraint(
+            jnp.zeros((num_shards,), jnp.int32), spec0
+        )
+        overflow = jax.lax.with_sharding_constraint(
+            jnp.zeros((num_shards,), jnp.bool_), spec0
+        )
+        if values is None:
+            return keys, counts, overflow
+        return keys, counts, overflow, (type(values)(vals) if multi else values)
+
     cap = int(slack * n_local / (overlap_chunks * num_shards)) + 64
     fn = _partition_fn(axis_name, num_shards, cap, oversample, overlap_chunks)
     spec = P(axis_name)
@@ -345,12 +358,22 @@ def sort_sharded(
     return out_keys, counts, overflow, (type(values)(res[3:]) if multi else res[3])
 
 
+def _to_host(x):
+    """Global array -> host ndarray; multi-process-safe (a plain np.asarray
+    raises on arrays whose shards live on other hosts)."""
+    if jax.process_count() > 1:  # pragma: no cover - needs a live cluster
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def gather_sorted(padded_keys, counts, padded_values=None):
     """Host-side helper: strip sentinel padding and concatenate shards."""
-    cs = np.asarray(counts)
+    cs = _to_host(counts)
 
     def strip(padded):
-        p = np.asarray(padded)
+        p = _to_host(padded)
         per = p.shape[0] // cs.shape[0]
         return np.concatenate([p[i * per : i * per + cs[i]] for i in range(cs.shape[0])])
 
@@ -393,7 +416,8 @@ def sort_distributed(
             descending=descending,
             overlap_chunks=overlap_chunks,
         )
-        if not np.any(np.asarray(res[2])):
+        # jnp.any reduces to a replicated scalar, fetchable on every host
+        if not bool(jnp.any(res[2])):
             if values is None:
                 return gather_sorted(res[0], res[1])
             return gather_sorted(res[0], res[1], res[3])

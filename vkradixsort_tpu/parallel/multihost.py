@@ -47,21 +47,28 @@ def ensure_initialized(
     Safe to call repeatedly and from single-process runs.
     """
     global _INITIALIZED
-    if _INITIALIZED or jax.process_count() > 1:
-        _INITIALIZED = True
-        return jax.process_count() > 1
+    # Decide from args/env BEFORE touching any jax backend query:
+    # jax.process_count() instantiates the local backend, after which
+    # jax.distributed.initialize() raises ("must be called before backends
+    # are initialized") — probing first would make explicit multi-host
+    # init impossible.
     want_multi = (
         coordinator_address is not None
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     )
-    if not want_multi:
-        return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    if want_multi and not _INITIALIZED:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:  # pragma: no cover - needs a live cluster
+            # The TPU runtime may have bootstrapped the distributed service
+            # itself (megascale); "already initialized" is success.
+            if "already" not in str(e).lower():
+                raise
     _INITIALIZED = True
     return jax.process_count() > 1
 

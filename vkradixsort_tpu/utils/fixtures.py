@@ -21,9 +21,14 @@ def make_keys(rng, n, dtype=np.uint32, distribution="uniform28"):
     if distribution == "uniform":
         if dtype.kind in "ui":
             info = np.iinfo(dtype)
-            return rng.integers(info.min, int(info.max), size=n, dtype=dtype)
+            # endpoint=True: dtype max IS reachable, so fixture-driven tests
+            # can hit the sentinel-collision class (keys == pad_sentinel)
+            return rng.integers(info.min, int(info.max), size=n, dtype=dtype,
+                                endpoint=True)
         return (rng.random(n) * 2 - 1).astype(dtype) * 1e6
     if distribution == "descending":
+        if dtype.kind == "f":
+            return np.arange(n, 0, -1).astype(dtype)
         # go through uint64: iinfo(uint64).max does not fit the int64 arange
         arr = np.arange(n, 0, -1).astype(np.uint64)
         return (arr % np.uint64(np.iinfo(dtype).max)).astype(dtype)

@@ -45,10 +45,20 @@ def trace(logdir: str = "/tmp/vkrs_trace"):
 def timed(label: str, component: str = "vkradixsort"):
     """Wall-clock a block with a completion fence — the reference's
     steady_clock-around-waitIdle pattern. Yields a dict that receives
-    ``seconds`` on exit."""
+    ``seconds`` on exit.
+
+    Store the block's device outputs in the yielded dict (any key) and the
+    fence blocks on them; otherwise a trailing no-op computation is
+    enqueued and blocked on — the device executes per-stream in launch
+    order, so it completes only after the block's dispatched work.
+    """
+    import jax.numpy as jnp
+
     out = {}
     t0 = time.perf_counter()
     yield out
+    arrays = [v for v in out.values() if isinstance(v, jax.Array)]
+    jax.block_until_ready(arrays if arrays else jnp.zeros(()) + 0.0)
     out["seconds"] = time.perf_counter() - t0
     log(component, f"{label} finished in {out['seconds'] * 1e3:.3f} ms")
 
