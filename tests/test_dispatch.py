@@ -130,6 +130,25 @@ def test_sort_segments_multi_payload(rng):
         np.testing.assert_array_equal(np.asarray(o2)[r], v2[r][perm])
 
 
+def test_2d_inputs_route_to_segments(rng):
+    # np.sort-style batched semantics: 2-D keys sort per row through the
+    # segment engine from every public entry point.
+    k = make_keys(rng, 8_192, np.uint32, "uniform").reshape(8, 1024) % 211
+    v = np.tile(np.arange(1024, dtype=np.uint32), (8, 1))
+    np.testing.assert_array_equal(
+        np.asarray(vk.sort(jnp.asarray(k))), np.sort(k, axis=1)
+    )
+    ok, ov = vk.sort_pairs(jnp.asarray(k), jnp.asarray(v))
+    perm2d = np.argsort(k, axis=1, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok), np.sort(k, axis=1))
+    np.testing.assert_array_equal(np.asarray(ov), perm2d.astype(np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(vk.argsort(jnp.asarray(k))), perm2d.astype(np.uint32)
+    )
+    with pytest.raises(ValueError, match="backend"):
+        vk.sort(jnp.asarray(k), backend="bitonic")
+
+
 def test_sort_pairs_multi_payload_single_plane_engines(rng):
     k = jnp.asarray(make_keys(rng, 4_096, np.uint32, "uniform"))
     v = jnp.arange(4_096, dtype=jnp.uint32)

@@ -166,8 +166,14 @@ def sort(
     encoded keys are bit-complemented (an order-reversing involution on the
     unsigned domain) before and after an ascending stable sort.
     """
+    if keys.ndim == 2:
+        # np.sort-style batched semantics: every row sorts independently via
+        # the segment engine (backend selection does not apply there)
+        if backend is not None:
+            raise ValueError("2-D keys route to sort_segments; backend= does not apply")
+        return sort_segments(keys, descending=descending)
     if keys.ndim != 1:
-        raise ValueError(f"sort expects 1-D keys, got shape {keys.shape}")
+        raise ValueError(f"sort expects 1-D or 2-D keys, got shape {keys.shape}")
     _check_f64_on_tpu(keys)
     path = _route(keys.shape[0], config, backend)
     enc = encode_keys(keys)
@@ -198,6 +204,10 @@ def sort_pairs(
     """
     multi = isinstance(values, (tuple, list))
     vals = tuple(values) if multi else (values,)
+    if keys.ndim == 2:
+        if backend is not None:
+            raise ValueError("2-D keys route to sort_segments; backend= does not apply")
+        return sort_segments(keys, values, descending=descending)
     if keys.ndim != 1 or any(v.shape[:1] != keys.shape[:1] for v in vals):
         raise ValueError(
             "sort_pairs expects matching 1-D arrays, got "
@@ -231,8 +241,16 @@ def argsort(
     340 ms vs 474 ms for the stable two-operand carry (1.39x,
     BENCHMARKS.md).
     """
+    if keys.ndim == 2:
+        if backend is not None:
+            raise ValueError("2-D keys route to sort_segments; backend= does not apply")
+        idx = jnp.broadcast_to(
+            jnp.arange(keys.shape[1], dtype=jnp.uint32), keys.shape
+        )
+        _, perm = sort_segments(keys, idx, descending=descending)
+        return perm
     if keys.ndim != 1:
-        raise ValueError(f"argsort expects 1-D keys, got shape {keys.shape}")
+        raise ValueError(f"argsort expects 1-D or 2-D keys, got shape {keys.shape}")
     n = keys.shape[0]
     path = _route(n, config, backend)
     if (
