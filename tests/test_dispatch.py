@@ -54,6 +54,12 @@ def test_unknown_backend_raises(rng):
         vk.sort(k, backend="quantum")
 
 
+def test_bitonic_vmem_bound_raises():
+    k = jnp.zeros((1 << 23,), jnp.uint32)
+    with pytest.raises(ValueError, match="VMEM"):
+        vk.sort(k, config=CFG, backend="bitonic")
+
+
 def test_default_route_off_tpu(rng):
     # Default routing must be exact for every supported dtype. float64 is
     # refused on TPU (f64 there is a float32 pair and would be perturbed).

@@ -90,6 +90,12 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
     if path == "bitonic":
         from vkradixsort_tpu.ops import bitonic, segsort
 
+        if enc.shape[0] > (1 << 22):
+            raise ValueError(
+                "bitonic engine holds the whole (padded) array in VMEM and "
+                "is bound to ~4M keys on current chips; use the 'tiled' or "
+                "'samplesort' engines for larger arrays (BENCHMARKS.md)"
+            )
         s = segsort.to_signed_order(enc)
         out_s, out_v = bitonic.bitonic_sort_block(
             s, vals, stable=bool(vals), interpret=config.interpret
