@@ -136,6 +136,37 @@ def test_sort_segments_multi_payload(rng):
         np.testing.assert_array_equal(np.asarray(o2)[r], v2[r][perm])
 
 
+def test_sort_pairs_unstable_packed(rng, monkeypatch):
+    # stable=False + u32-encoded keys + one 4-byte payload packs (key,value)
+    # into one u64. Keys must come back sorted and the (key, value) pair
+    # multiset preserved; a spy proves the packed route fired.
+    from vkradixsort_tpu.ops import segsort
+
+    calls = []
+    real = segsort.sort_flat
+    monkeypatch.setattr(
+        segsort, "sort_flat", lambda *a, **kw: (calls.append(1), real(*a, **kw))[1]
+    )
+    k = make_keys(rng, 30_000, np.uint32, "uniform") % 977
+    v = rng.standard_normal(k.size).astype(np.float32)
+    ok, ov = vk.sort_pairs(
+        jnp.asarray(k), jnp.asarray(v), config=CFG, backend="tiled", stable=False
+    )
+    ok, ov = np.asarray(ok), np.asarray(ov)
+    assert calls, "packed unstable route did not fire"
+    np.testing.assert_array_equal(ok, np.sort(k))
+    pin = np.sort((k.astype(np.uint64) << 32) | v.view(np.uint32))
+    pout = np.sort((ok.astype(np.uint64) << 32) | ov.view(np.uint32))
+    np.testing.assert_array_equal(pin, pout)
+
+    # descending composes
+    okd, ovd = vk.sort_pairs(
+        jnp.asarray(k), jnp.asarray(v), config=CFG, backend="tiled",
+        stable=False, descending=True,
+    )
+    np.testing.assert_array_equal(np.asarray(okd), np.sort(k)[::-1])
+
+
 def test_2d_inputs_route_to_segments(rng):
     # np.sort-style batched semantics: 2-D keys sort per row through the
     # segment engine from every public entry point.
