@@ -84,6 +84,22 @@ def main():
     keys_per_s = n / dt
     log(f"1e8 u32 kv-pairs: {dt*1e3:.2f} ms -> {keys_per_s/1e6:.1f} M keys/s/chip")
 
+    # Secondary diagnostic (stderr only; the JSON line stays the STABLE
+    # number per BASELINE config #3): unstable kv via the packed-u64 path.
+    try:
+        jax.config.update("jax_enable_x64", True)
+
+        def fu(k, v):
+            return vk.sort_pairs(k, v, stable=False)
+
+        uk, uv = jax.jit(fu)(keys, values)
+        assert device_side_checks(vk, jnp, jax, keys, values, uk, uv)
+        dtu = measure_pairs_seconds_per_call(fu, keys, values, reps=4)
+        log(f"1e8 u32 kv-pairs UNSTABLE (packed u64): {dtu*1e3:.2f} ms -> "
+            f"{n/dtu/1e6:.1f} M keys/s/chip")
+    except Exception as e:  # diagnostics must never break the contract line
+        log(f"unstable diagnostic skipped: {type(e).__name__}: {e}")
+
     print(
         json.dumps(
             {
