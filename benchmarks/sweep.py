@@ -47,9 +47,10 @@ def main() -> None:
     ap.add_argument("--distribution", default="uniform",
                     choices=["uniform", "uniform28", "descending", "constant", "zipf"])
     ap.add_argument("--kv", action="store_true", help="sort key-value pairs")
-    ap.add_argument("--op", default=None, choices=["keys", "kv", "argsort"],
-                    help="operation to sweep (overrides --kv; argsort enables x64 "
-                         "and exercises the packed-i64 fast path on 'tiled')")
+    ap.add_argument("--op", default=None,
+                    choices=["keys", "kv", "kv_unstable", "argsort"],
+                    help="operation to sweep (overrides --kv; argsort/kv_unstable "
+                         "enable x64 and exercise the packed fast paths on 'tiled')")
     ap.add_argument("--dtype", default="uint32",
                     choices=["uint32", "uint64", "float32", "int32"])
     ap.add_argument("--csv", default="sweep.csv", help="CSV output path (appends)")
@@ -73,7 +74,7 @@ def main() -> None:
     if np.dtype(args.dtype).kind in "fi" and op != "keys":
         ap.error("float/signed key dtypes currently sweep --op keys only "
                  "(the kv/argsort timing chains carry unsigned bits)")
-    if args.dtype == "uint64" or op == "argsort":
+    if args.dtype == "uint64" or op in ("argsort", "kv_unstable"):
         jax.config.update("jax_enable_x64", True)
 
     import vkradixsort_tpu as vk
@@ -107,11 +108,11 @@ def main() -> None:
             if engine == "samplesort" and (op != "keys" or n < (1 << 16)):
                 continue  # keys-only here, large-N engine
             try:
-                if op == "kv":
+                if op in ("kv", "kv_unstable"):
                     values = jnp.arange(n, dtype=jnp.uint32)
 
-                    def f(kk, vv, _e=engine):
-                        return vk.sort_pairs(kk, vv, backend=_e)
+                    def f(kk, vv, _e=engine, _s=(op == "kv")):
+                        return vk.sort_pairs(kk, vv, backend=_e, stable=_s)
 
                     out_k, out_v = jax.jit(f)(keys, values)
                     dt = measure_pairs_seconds_per_call(f, keys, values, reps=4)
