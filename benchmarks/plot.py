@@ -51,7 +51,12 @@ def main() -> None:
         ax.set_yscale("log")
         ax.set_xlabel("N (elements)")
         ax.set_ylabel("sort time (ms)")
-        kind = {"kv": "key-value pairs", "argsort": "argsort", "keys": "keys"}[op]
+        kind = {
+            "kv": "key-value pairs",
+            "kv_unstable": "key-value pairs (unstable, packed u64)",
+            "argsort": "argsort",
+            "keys": "keys",
+        }.get(op, op)
         ax.set_title(f"{dtype} {kind}, {dist} — TPU v5e")
         ax.grid(True, which="both", alpha=0.3)
         ax.legend()
