@@ -1,0 +1,145 @@
+"""Merge-path large-N engine tests (interpret on CPU, real on TPU).
+
+The engine under test is the round-2 flagship (ops/merge.py): in-VMEM
+bitonic tile sorts + a run-doubling merge-path ladder — the TPU re-design of
+the reference's fastest path (multiradixsort shaders). Small ``tile_rows``
+values force many ladder levels so every merge-path branch (window
+alignment, run tails, pad tiles, stability carry) is exercised at CPU-suite
+sizes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vkradixsort_tpu as vk
+from vkradixsort_tpu.engine.config import SortConfig
+from vkradixsort_tpu.ops.merge import sort_merge, sort_merge_planes
+from tests.conftest import make_keys
+
+INTERPRET = jax.default_backend() != "tpu"
+CFG = SortConfig(interpret=INTERPRET)
+
+
+# --- plane-level driver -----------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [1, 100, 4096, 8192, 40_000, 100_001])
+def test_planes_keys_multilevel(rng, n):
+    # tile_rows=2 -> T=4096: n=100_001 runs a 5-level ladder with a ragged
+    # final run, covering empty-B pairs and pad tiles
+    keys = rng.integers(-(1 << 31), 1 << 31, size=n, dtype=np.int32)
+    keys = np.minimum(keys, np.iinfo(np.int32).max - 1)
+    (out,) = sort_merge_planes(
+        [jnp.asarray(keys)], 1, tile_rows=2, interpret=INTERPRET
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
+
+
+def test_planes_stable_ties(rng):
+    # heavy ties + position plane: the ladder must preserve input order
+    n = 50_000
+    keys = rng.integers(0, 5, size=n).astype(np.int32)
+    pos = np.arange(n, dtype=np.int32)
+    out_k, out_p = sort_merge_planes(
+        [jnp.asarray(keys), jnp.asarray(pos)], 2, tile_rows=2, interpret=INTERPRET
+    )
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[perm])
+    np.testing.assert_array_equal(np.asarray(out_p), perm.astype(np.int32))
+
+
+def test_planes_sentinel_valued_keys(rng):
+    # keys equal to the int32-max pad sentinel must still sort exactly
+    n = 10_000
+    keys = rng.integers(0, 3, size=n).astype(np.int32)
+    keys[keys == 2] = np.iinfo(np.int32).max
+    (out,) = sort_merge_planes(
+        [jnp.asarray(keys)], 1, tile_rows=2, interpret=INTERPRET
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
+
+
+# --- encoded-key engine entry -----------------------------------------------
+
+
+@pytest.mark.parametrize("dist", ["uniform", "descending", "constant", "zipf"])
+def test_sort_merge_u32(rng, dist):
+    keys = make_keys(rng, 30_000, np.uint32, dist)
+    out, _ = sort_merge(jnp.asarray(keys), tile_rows=2, interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
+
+
+def test_sort_merge_u64(rng):
+    keys = rng.integers(0, 1 << 64, size=20_000, dtype=np.uint64)
+    out, _ = sort_merge(jnp.asarray(keys), tile_rows=2, interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
+
+
+def test_sort_merge_stable_kv(rng):
+    n = 30_000
+    keys = rng.integers(0, 64, size=n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    out_k, (out_v,) = sort_merge(
+        jnp.asarray(keys), (jnp.asarray(vals),), tile_rows=2, interpret=INTERPRET
+    )
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[perm])
+    np.testing.assert_array_equal(np.asarray(out_v), perm.astype(np.uint32))
+
+
+def test_sort_merge_multi_payload_8byte(rng):
+    # one 4-byte float payload + one 8-byte payload, both carried exactly
+    n = 20_000
+    keys = rng.integers(0, 1 << 16, size=n, dtype=np.uint32)
+    v32 = rng.standard_normal(n).astype(np.float32)
+    v64 = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+    out_k, (o32, o64) = sort_merge(
+        jnp.asarray(keys),
+        (jnp.asarray(v32), jnp.asarray(v64)),
+        tile_rows=2,
+        interpret=INTERPRET,
+    )
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[perm])
+    np.testing.assert_array_equal(np.asarray(o32), v32[perm])
+    np.testing.assert_array_equal(np.asarray(o64), v64[perm])
+
+
+def test_sort_merge_rejects_bad_dtypes(rng):
+    with pytest.raises(TypeError):
+        sort_merge(jnp.zeros(128, jnp.int32), interpret=INTERPRET)
+    with pytest.raises(TypeError):
+        sort_merge(
+            jnp.zeros(128, jnp.uint32),
+            (jnp.zeros(128, jnp.uint8),),
+            interpret=INTERPRET,
+        )
+
+
+# --- via the public dispatch API ---------------------------------------------
+
+
+def test_dispatch_merge_keys(rng):
+    keys = make_keys(rng, 300_001, np.uint32, "uniform")
+    out = vk.sort(jnp.asarray(keys), backend="merge", config=CFG)
+    np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
+
+
+def test_dispatch_merge_float_descending(rng):
+    keys = rng.standard_normal(50_000).astype(np.float32)
+    out = vk.sort(jnp.asarray(keys), backend="merge", config=CFG, descending=True)
+    np.testing.assert_array_equal(np.asarray(out), np.sort(keys)[::-1])
+
+
+def test_dispatch_merge_int64_kv(rng):
+    n = 40_000
+    keys = rng.integers(-(1 << 62), 1 << 62, size=n, dtype=np.int64)
+    vals = np.arange(n, dtype=np.uint32)
+    out_k, out_v = vk.sort_pairs(
+        jnp.asarray(keys), jnp.asarray(vals), backend="merge", config=CFG
+    )
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[perm])
+    np.testing.assert_array_equal(np.asarray(out_v), perm.astype(np.uint32))

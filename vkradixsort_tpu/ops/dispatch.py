@@ -42,7 +42,15 @@ from vkradixsort_tpu.engine.config import DEFAULT_CONFIG, SortConfig
 from vkradixsort_tpu.ops import reference
 from vkradixsort_tpu.ops.common import decode_keys, encode_keys, sortable_dtype
 
-ENGINES = ("tiled", "bitonic", "fused", "samplesort", "radix_tiled", "reference")
+ENGINES = (
+    "tiled",
+    "merge",
+    "bitonic",
+    "fused",
+    "samplesort",
+    "radix_tiled",
+    "reference",
+)
 
 
 def _on_tpu() -> bool:
@@ -87,6 +95,10 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
         from vkradixsort_tpu.ops import tiled
 
         return tiled.sort_tiled(enc, vals, config)
+    if path == "merge":
+        from vkradixsort_tpu.ops import merge
+
+        return merge.sort_merge(enc, vals, interpret=config.interpret)
     if path == "bitonic":
         from vkradixsort_tpu.ops import bitonic, segsort
 

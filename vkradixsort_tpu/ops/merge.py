@@ -1,0 +1,583 @@
+"""Merge-path large-N engine: in-VMEM tile sorts + streaming bitonic merges.
+
+This is the round-2 flagship — the TPU answer to the reference's fastest
+path, its multi-workgroup pipeline (reference
+multiradixsort/resources/shaders/multi_radixsort.comp:45-126). The reference
+wins large N by tiling the array over workgroups and scattering through a
+global histogram table; TPUs lose that game (element scatter ~150 M/s,
+BENCHMARKS.md), but they win a different one: streaming bulk DMA + a very
+wide VPU. So the structure here is a run-doubling MERGE ladder where every
+level is ONE bandwidth-bound pass over HBM:
+
+  1. "tilesort" Pallas kernel: each T-element tile (T = G*2048) is sorted
+     entirely in VMEM by the textbook bitonic network (~log^2 stages of
+     vectorized compare-exchange) — one HBM pass turns raw input into
+     sorted-T runs;
+  2. per run-doubling level L = T, 2T, ...: merge-path split points for every
+     output tile are computed in XLA (a vectorized binary search over the
+     sorted runs — a few hundred queries, microseconds), then a Pallas
+     kernel, per output tile, DMAs one row-aligned window from each input
+     run, shift-aligns them in VMEM with dynamic lane rolls, masks the
+     run-tails with sentinels, reverses the B window (A ++ rev(B) is
+     bitonic), takes the elementwise lexicographic minimum (the bitonic
+     lowest-half property: exactly the output tile's multiset), and sorts it
+     with one log2(T)-stage all-ascending bitonic merge.
+
+Measured on v5e at 1e8 (see BENCHMARKS.md): one full 18-stage streamed merge
+pass costs 4.8 ms/plane and compiles in ~3 s — vs 179 ms for XLA's whole
+flat sort, which is why ~10 such run-doubling levels beat it outright.
+
+Stage implementation notes (all stages are statically unrolled — measured
+both compile-fast AND runtime-fast; dynamic-distance fori variants compile
+equally fast but run 1.5-4x slower because dynamic rolls lower poorly):
+
+  * element distance d >= 2048: reshape-row stages on the (G, 2048) view —
+    reshape to (nb, 2, dr, 2048), lexicographic min/max the two halves,
+    concatenate back (pure copies + selects, no rolls);
+  * d <= 1024: lane stages — the XOR-partner is materialized with two
+    static ``pltpu.roll``s and a lane-mask select.
+
+Everything runs on PLANES of int32 in signed-order space (see ops/segsort):
+the first ``nck`` planes compare lexicographically (key, then original
+position for stability — the same mechanism as parallel/distributed.py and
+ops/samplesort.py), the rest are carried payload. 64-bit keys become two
+planes (hi, lo). All comparisons are strict total orders once a position
+plane rides along, so the (unstable) bitonic network yields a STABLE sort.
+
+Alignment rules (see memory: axon-tpu-gotchas): window DMA offsets are
+floored to the 2048-element row, which satisfies the 1024-divisibility the
+1-D HBM memref tiling demands; the sub-row remainder is realigned in VMEM
+with two dynamic rolls and a select.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vkradixsort_tpu.ops.common import round_up
+
+C = 2048  # row width of the VMEM view; also the window-DMA alignment grain
+_SENT = np.int32(np.iinfo(np.int32).max)  # compare-plane sentinel (+inf)
+
+
+# ---------------------------------------------------------------------------
+# comparators (integer masks: Mosaic rejects bool<->bool not/xor)
+
+
+def _lex_le_i(a_planes, b_planes, nck):
+    """1 where a <= b lexicographically over the first nck planes, else 0."""
+    m = jnp.where(a_planes[nck - 1] <= b_planes[nck - 1], 1, 0)
+    for k in range(nck - 2, -1, -1):
+        m = jnp.where(a_planes[k] < b_planes[k], 1, 0) + jnp.where(
+            a_planes[k] == b_planes[k], 1, 0
+        ) * m
+    return m
+
+
+def _lex_lt_i(a_planes, b_planes, nck):
+    """1 where a < b lexicographically over the first nck planes, else 0."""
+    m = jnp.where(a_planes[nck - 1] < b_planes[nck - 1], 1, 0)
+    for k in range(nck - 2, -1, -1):
+        m = jnp.where(a_planes[k] < b_planes[k], 1, 0) + jnp.where(
+            a_planes[k] == b_planes[k], 1, 0
+        ) * m
+    return m
+
+
+# ---------------------------------------------------------------------------
+# network stages over flat (T,) planes, T = G * C
+
+
+def _row_stage(planes, nck, G, dr, asc_nb):
+    """Compare-exchange at element distance dr*C via the (G, C) row view.
+
+    asc_nb: (nb, 1, 1) int mask (1 = ascending 2*dr-row block), or the
+    constant 1 for an all-ascending network level.
+    """
+    nb = G // (2 * dr)
+    rs = [p.reshape(nb, 2, dr, C) for p in planes]
+    us = [r[:, 0] for r in rs]
+    vs = [r[:, 1] for r in rs]
+    le = _lex_le_i(us, vs, nck)
+    first_is_u = jnp.where(asc_nb == 1, le, 1 - le) == 1
+    firsts = [jnp.where(first_is_u, u, v) for u, v in zip(us, vs)]
+    seconds = [jnp.where(first_is_u, v, u) for u, v in zip(us, vs)]
+    return [
+        jnp.concatenate([f[:, None], s[:, None]], axis=1).reshape(G * C)
+        for f, s in zip(firsts, seconds)
+    ]
+
+
+def _lane_stage(planes, nck, G, flat, d, asc):
+    """Compare-exchange at lane distance d (static, <= C/2).
+
+    asc: int mask broadcastable to (G, C) (1 = ascending direction block),
+    or the constant 1.
+    """
+    planes2d = [p.reshape(G, C) for p in planes]
+    lower = jnp.where((flat & d) == 0, 1, 0)
+    partners = []
+    for p in planes2d:
+        pr = pltpu.roll(p, C - d, 1)  # == roll by -d: partner at lane+d
+        pb = pltpu.roll(p, d, 1)  # partner at lane-d
+        partners.append(jnp.where(lower == 1, pr, pb))
+    plt = _lex_lt_i(partners, planes2d, nck)
+    pgt = _lex_lt_i(planes2d, partners, nck)
+    want_lo = jnp.where(lower == asc, 1, 0)
+    take = jnp.where(want_lo == 1, plt, pgt) == 1
+    return [
+        jnp.where(take, q, p).reshape(G * C) for p, q in zip(planes2d, partners)
+    ]
+
+
+def _net_level(planes, nck, G, flat, k, final_asc):
+    """All stages of bitonic level ``k`` (element distances k/2 .. 1).
+
+    final_asc: True for an all-ascending level (the last sort level and the
+    lowest-half merge); otherwise directions follow the standard
+    (q & k) == 0 rule of the bitonic network.
+    """
+    d = k >> 1
+    while d >= C:
+        dr = d // C
+        if final_asc:
+            asc = 1
+        else:
+            nb = G // (2 * dr)
+            bi = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)
+            asc = jnp.where(((bi * (2 * d)) & k) == 0, 1, 0)
+        planes = _row_stage(planes, nck, G, dr, asc)
+        d >>= 1
+    while d >= 1:
+        asc = 1 if final_asc else jnp.where((flat & k) == 0, 1, 0)
+        planes = _lane_stage(planes, nck, G, flat, d, asc)
+        d >>= 1
+    return planes
+
+
+def _reverse_tile(planes, G, flat):
+    """Full reversal of flat (T,) planes: index q -> T-1-q.
+
+    Reversal = XOR of the index with T-1: a composition of unconditional
+    block swaps per bit — row bits via reshape+concat, lane bits via two
+    static rolls + select (lax.rev is unimplemented in Mosaic TC).
+    """
+    b = (G * C) >> 1
+    while b >= C:
+        dr = b // C
+        nb = G // (2 * dr)
+        planes = [
+            jnp.concatenate(
+                [
+                    p.reshape(nb, 2, dr, C)[:, 1][:, None],
+                    p.reshape(nb, 2, dr, C)[:, 0][:, None],
+                ],
+                axis=1,
+            ).reshape(G * C)
+            for p in planes
+        ]
+        b >>= 1
+    while b >= 1:
+        sel = (flat & b) == 0
+        planes = [
+            jnp.where(
+                sel,
+                pltpu.roll(p.reshape(G, C), C - b, 1),
+                pltpu.roll(p.reshape(G, C), b, 1),
+            ).reshape(G * C)
+            for p in planes
+        ]
+        b >>= 1
+    return planes
+
+
+# ---------------------------------------------------------------------------
+# tilesort kernel: raw tiles -> sorted-T runs, one HBM pass
+# (the analog of the reference's single-workgroup whole-sort regime feeding
+# its multi-workgroup one: single_radixsort.comp:42-137 as the base case)
+
+
+def _tilesort_kernel(nplanes, nck, G, klo, khi, tlog, *refs):
+    ins = refs[:nplanes]
+    outs = refs[nplanes:]
+    planes = [r[:] for r in ins]
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (G, C), 0) * C
+        + jax.lax.broadcasted_iota(jnp.int32, (G, C), 1)
+    )
+    for klog in range(klo, khi + 1):
+        planes = _net_level(
+            planes, nck, G, flat, 1 << klog, final_asc=(klog == tlog)
+        )
+    for o, p in zip(outs, planes):
+        o[:] = p
+
+
+# Mosaic compile time is strongly superlinear in the number of statically
+# unrolled stages (measured on v5e: ~36 stages -> 3.4 s, the full 171-stage
+# network -> ~300 s), so the tile sort is CHUNKED into several kernels of
+# at most ~_CHUNK_STAGES stages; each extra kernel costs one more HBM round
+# trip (~2.4 ms/plane at 1e8), which is noise next to the compile savings.
+_CHUNK_STAGES = 40
+
+
+def _tilesort_chunks(tlog):
+    """Partition bitonic levels 1..tlog into chunks of ~_CHUNK_STAGES stages
+    (level k contributes k stages)."""
+    chunks = []
+    cur_lo, budget = 1, 0
+    for klog in range(1, tlog + 1):
+        if budget and budget + klog > _CHUNK_STAGES:
+            chunks.append((cur_lo, klog - 1))
+            cur_lo, budget = klog, 0
+        budget += klog
+    chunks.append((cur_lo, tlog))
+    return chunks
+
+
+def _tilesort_call(planes, nplanes, nck, G, interpret):
+    T = G * C
+    tlog = int(np.log2(T))
+    ntiles = planes[0].shape[0] // T
+    bs = pl.BlockSpec((T,), lambda t: (t,))
+    for klo, khi in _tilesort_chunks(tlog):
+        call = pl.pallas_call(
+            functools.partial(_tilesort_kernel, nplanes, nck, G, klo, khi, tlog),
+            grid=(ntiles,),
+            in_specs=[bs] * nplanes,
+            out_specs=[bs] * nplanes,
+            out_shape=[
+                jax.ShapeDtypeStruct(planes[0].shape, jnp.int32)
+                for _ in range(nplanes)
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )
+        planes = list(call(*planes))
+    return planes
+
+
+# ---------------------------------------------------------------------------
+# merge-path level: XLA split points + streaming window-merge kernel
+
+
+def _level_splits(planes, nck, L, T, npad, ntiles_total):
+    """Per-output-tile merge-path metadata for the runs-of-L level.
+
+    Returns (ntiles_total, 6) int32: [a_woff, s_a, a_rem, b_woff, s_b, b_rem]
+    where *_woff are row-aligned window offsets into the flat buffers, s_*
+    the sub-row shifts, *_rem how many valid run elements remain from the
+    window start (clamped to T; beyond -> sentinel mask in-kernel).
+
+    The binary search finds a = |A-part of the first dg merged elements| with
+    A-priority on ties (stability): the predicate P(x) = A[x] <= B[dg-1-x] is
+    monotone decreasing in x, and a = the first x where it fails.
+    """
+    t = jnp.arange(ntiles_total, dtype=jnp.int32)
+    tstart = t * T
+    p = tstart // (2 * L)
+    dg = tstart - p * (2 * L)
+    run_a = p * (2 * L)
+    la = jnp.clip(npad - run_a, 0, L).astype(jnp.int32)
+    lb = jnp.clip(npad - run_a - L, 0, L).astype(jnp.int32)
+    lo = jnp.maximum(0, dg - lb)
+    hi = jnp.minimum(dg, la)
+    # L may be traced (the level loop runs as a fori_loop so the Pallas
+    # kernel is compiled exactly once); use the static worst-case step count
+    steps = int(np.ceil(np.log2(max(npad, 2)))) + 1
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        ai = run_a + mid
+        bi = run_a + L + (dg - 1 - mid)
+        av = [jnp.take(pln, ai, mode="clip") for pln in planes[:nck]]
+        bv = [jnp.take(pln, bi, mode="clip") for pln in planes[:nck]]
+        le = _lex_le_i(av, bv, nck) == 1
+        active = lo < hi
+        return (
+            jnp.where(active & le, mid + 1, lo),
+            jnp.where(active & ~le, mid, hi),
+        )
+
+    a, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    a = jnp.clip(a, 0, la)
+    b = jnp.clip(dg - a, 0, lb)
+    # clamp to the data region: a degenerate pair (B empty because the B-run
+    # would start past npad) must not point its window DMA out of bounds
+    a_abs = jnp.minimum(run_a + a, npad)
+    b_abs = jnp.minimum(run_a + L + b, npad)
+    a_rem = jnp.clip(la - a, 0, T).astype(jnp.int32)
+    b_rem = jnp.clip(lb - b, 0, T).astype(jnp.int32)
+    # pad tiles (tstart >= npad): point both windows at the sentinel tail
+    is_pad = tstart >= npad
+    a_abs = jnp.where(is_pad, npad, a_abs)
+    b_abs = jnp.where(is_pad, npad, b_abs)
+    a_rem = jnp.where(is_pad, 0, a_rem)
+    b_rem = jnp.where(is_pad, 0, b_rem)
+    a_woff = (a_abs // C) * C
+    b_woff = (b_abs // C) * C
+    return jnp.stack(
+        [a_woff, a_abs - a_woff, a_rem, b_woff, b_abs - b_woff, b_rem], axis=1
+    )
+
+
+def _align_window(w2d, s, G):
+    """(G+1, C) raw window -> (G, C) view starting at flat element ``s``
+    (traced, 0 <= s < C): two rolls + a lane select."""
+    r1 = pltpu.roll(w2d, -s, 1)
+    down = pltpu.roll(r1, G, 0)  # static positive: row i <- row i+1 (mod G+1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G + 1, C), 1)
+    return jnp.where(lane < C - s, r1, down)[:G]
+
+
+def _mergepath_kernel(nplanes, nck, G, meta_ref, *refs):
+    T = G * C
+    ins = refs[:nplanes]
+    outs = refs[nplanes : 2 * nplanes]
+    scr_a = refs[2 * nplanes : 3 * nplanes]
+    scr_b = refs[3 * nplanes : 4 * nplanes]
+    sem = refs[4 * nplanes]
+    t = pl.program_id(0)
+    a_woff = meta_ref[t, 0]
+    s_a = meta_ref[t, 1]
+    a_rem = meta_ref[t, 2]
+    b_woff = meta_ref[t, 3]
+    s_b = meta_ref[t, 4]
+    b_rem = meta_ref[t, 5]
+    dmas = []
+    for i in range(nplanes):
+        cp = pltpu.make_async_copy(
+            ins[i].at[pl.ds(pl.multiple_of(a_woff, 1024), T + C)],
+            scr_a[i],
+            sem.at[np.int32(2 * i)],
+        )
+        cp.start()
+        dmas.append(cp)
+        cp = pltpu.make_async_copy(
+            ins[i].at[pl.ds(pl.multiple_of(b_woff, 1024), T + C)],
+            scr_b[i],
+            sem.at[np.int32(2 * i + 1)],
+        )
+        cp.start()
+        dmas.append(cp)
+    for cp in dmas:
+        cp.wait()
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (G, C), 0) * C
+        + jax.lax.broadcasted_iota(jnp.int32, (G, C), 1)
+    )
+    a_planes = []
+    b_planes = []
+    for i in range(nplanes):
+        sent = _SENT if i < nck else np.int32(0)
+        wa = _align_window(scr_a[i][:].reshape(G + 1, C), s_a, G)
+        a_planes.append(jnp.where(flat < a_rem, wa, sent).reshape(T))
+        wb = _align_window(scr_b[i][:].reshape(G + 1, C), s_b, G)
+        b_planes.append(jnp.where(flat < b_rem, wb, sent).reshape(T))
+    b_planes = _reverse_tile(b_planes, G, flat)
+    # bitonic lowest-half: lo = min(A', rev(B')) is the output tile's multiset
+    le = _lex_le_i(a_planes, b_planes, nck) == 1
+    lo = [jnp.where(le, a, b) for a, b in zip(a_planes, b_planes)]
+    lo = _net_level(lo, nck, G, flat, T, final_asc=True)
+    for o, p in zip(outs, lo):
+        o[:] = p
+
+
+def _mergepath_call(planes, meta, nplanes, nck, G, interpret):
+    T = G * C
+    ntiles = planes[0].shape[0] // T
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * nplanes,
+        out_specs=[pl.BlockSpec((T,), lambda t, *_: (t,))] * nplanes,
+        scratch_shapes=[pltpu.VMEM((T + C,), jnp.int32)] * (2 * nplanes)
+        + [pltpu.SemaphoreType.DMA((2 * nplanes,))],
+    )
+    call = pl.pallas_call(
+        functools.partial(_mergepath_kernel, nplanes, nck, G),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(planes[0].shape, jnp.int32) for _ in range(nplanes)
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )
+    return list(call(meta, *planes))
+
+
+# ---------------------------------------------------------------------------
+# driver
+
+
+def sort_merge_planes(
+    planes,
+    nck: int,
+    *,
+    tile_rows: int = 128,
+    interpret: bool = False,
+):
+    """Sort int32 planes lexicographically by the first ``nck`` planes.
+
+    planes: list of 1-D int32 arrays (equal length n); compare planes first
+    (signed-order space — see ops/segsort.to_signed_order), carry planes
+    after. Returns same-length sorted planes. Requires n < 2^31.
+
+    tile_rows (G) is the grain knob — elements per VMEM tile is G*2048, the
+    analog of the reference's NUM_BLOCKS_PER_WORKGROUP*WORKGROUP_SIZE
+    (reference MultiRadixSort.cpp:12-17).
+    """
+    G = int(tile_rows)
+    assert G >= 2 and (G & (G - 1)) == 0, "tile_rows must be a power of two >= 2"
+    T = G * C
+    nplanes = len(planes)
+    n = planes[0].shape[0]
+    npad = round_up(max(n, T), T)
+    buflen = npad + 2 * T
+    if buflen >= (1 << 31):
+        raise NotImplementedError("merge engine needs padded size < 2^31")
+
+    work = []
+    for i, p in enumerate(planes):
+        sent = _SENT if i < nck else np.int32(0)
+        work.append(
+            jnp.concatenate([p, jnp.full((buflen - n,), sent, jnp.int32)])
+            if buflen != n
+            else p
+        )
+
+    def run_kernels(work):
+        work = _tilesort_call(work, nplanes, nck, G, interpret)
+        ntiles_total = buflen // T
+        nlev = max(int(np.ceil(np.log2(npad // T))), 0) if npad > T else 0
+
+        def body(i, work_t):
+            # run length at this level; < 2^31 by the buflen guard above
+            L = jnp.int32(T) << i
+            meta = _level_splits(list(work_t), nck, L, T, npad, ntiles_total)
+            return tuple(
+                _mergepath_call(list(work_t), meta, nplanes, nck, G, interpret)
+            )
+
+        if nlev:
+            # fori so the merge kernel is traced/compiled ONCE however many
+            # run-doubling levels the size needs
+            work = list(
+                jax.lax.fori_loop(jnp.int32(0), jnp.int32(nlev), body, tuple(work))
+            )
+        return work
+
+    # all planes are 4-byte: trace Pallas under x64-off semantics (see
+    # ops/bitonic.py — Python-int index math otherwise promotes through i64,
+    # which Mosaic rejects)
+    if jax.config.jax_enable_x64:
+        from jax._src.config import enable_x64  # no public context manager
+
+        with enable_x64(False):
+            work = run_kernels(work)
+    else:
+        work = run_kernels(work)
+    return [w[:n] for w in work]
+
+
+# ---------------------------------------------------------------------------
+# public engine entry: encoded keys (+ payload planes) -> sorted
+
+
+_LOW32 = np.uint64(0xFFFFFFFF)
+
+
+def _u32_signed(x32):
+    """uint32 bit pattern -> order-isomorphic int32 plane."""
+    return (x32 ^ np.uint32(0x80000000)).view(jnp.int32)
+
+
+def _default_tile_rows(nplanes: int) -> int:
+    # VMEM budget: the mergepath kernel holds 2*nplanes scratch windows of
+    # (T+C) i32 plus nplanes output blocks of T; keep the total under ~half
+    # of the chip's 128 MB so double-buffered output streaming still fits.
+    # G=128 (T=256k) measured best for 1 plane on v5e; shrink with planes.
+    g = 128
+    while g > 8 and nplanes * g * C * 4 * 3 > 96 * 2**20:
+        g //= 2
+    return g
+
+
+def sort_merge(
+    enc: jnp.ndarray,
+    vals: tuple = (),
+    *,
+    stable: bool = True,
+    tile_rows: int | None = None,
+    interpret: bool = False,
+):
+    """Merge-path engine on encoded (unsigned) keys with payload planes.
+
+    The analog of the reference's flagship multi-workgroup pipeline
+    (reference multiradixsort/resources/shaders/multi_radixsort.comp:45-126)
+    re-designed for TPU: in-VMEM tile sorts + a run-doubling merge ladder of
+    streaming one-pass kernels (module docstring). Accepts uint32/uint64
+    encoded keys and any number of 4- or 8-byte payload arrays; returns
+    ``(sorted_enc, sorted_vals_tuple)``.
+
+    ``stable=True`` threads an original-position compare plane through the
+    kernels (ties resolve to input order); keys-only sorts never need it.
+    """
+    n = enc.shape[0]
+    if n >= (1 << 31):
+        raise NotImplementedError("merge engine is bound to n < 2^31")
+    if enc.dtype == jnp.uint32:
+        key_planes = [_u32_signed(enc)]
+    elif enc.dtype == jnp.uint64:
+        key_planes = [
+            _u32_signed((enc >> np.uint64(32)).astype(jnp.uint32)),
+            _u32_signed((enc & _LOW32).astype(jnp.uint32)),
+        ]
+    else:
+        raise TypeError(f"merge engine sorts encoded u32/u64 keys, got {enc.dtype}")
+    nck = len(key_planes)
+    if stable and vals:
+        key_planes.append(jnp.arange(n, dtype=jnp.int32))
+        nck += 1
+    carry = []
+    carry_spec = []  # how to reassemble each payload: (dtype, nplanes)
+    for v in vals:
+        if v.dtype.itemsize == 8:
+            b = v.view(jnp.uint64) if v.dtype != jnp.uint64 else v
+            carry.append((b >> np.uint64(32)).astype(jnp.uint32).view(jnp.int32))
+            carry.append((b & _LOW32).astype(jnp.uint32).view(jnp.int32))
+            carry_spec.append((v.dtype, 2))
+        elif v.dtype.itemsize == 4:
+            carry.append(v.view(jnp.int32) if v.dtype != jnp.int32 else v)
+            carry_spec.append((v.dtype, 1))
+        else:
+            raise TypeError(f"merge engine carries 4/8-byte payloads, got {v.dtype}")
+    if tile_rows is None:
+        tile_rows = _default_tile_rows(nck + len(carry))
+    out = sort_merge_planes(
+        key_planes + carry, nck, tile_rows=tile_rows, interpret=interpret
+    )
+    if enc.dtype == jnp.uint32:
+        out_enc = out[0].view(jnp.uint32) ^ np.uint32(0x80000000)
+    else:
+        hi = out[0].view(jnp.uint32) ^ np.uint32(0x80000000)
+        lo = out[1].view(jnp.uint32) ^ np.uint32(0x80000000)
+        out_enc = (hi.astype(jnp.uint64) << np.uint64(32)) | lo.astype(jnp.uint64)
+    out_vals = []
+    pos = nck
+    for dtype, k in carry_spec:
+        if k == 2:
+            hi = out[pos].view(jnp.uint32).astype(jnp.uint64)
+            lo = out[pos + 1].view(jnp.uint32).astype(jnp.uint64)
+            out_vals.append(((hi << np.uint64(32)) | lo).view(dtype))
+        else:
+            out_vals.append(out[pos].view(dtype))
+        pos += k
+    return out_enc, tuple(out_vals)
