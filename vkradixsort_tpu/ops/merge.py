@@ -18,10 +18,19 @@ level is ONE bandwidth-bound pass over HBM:
      sorted runs — a few hundred queries, microseconds), then a Pallas
      kernel, per output tile, DMAs one row-aligned window from each input
      run, shift-aligns them in VMEM with dynamic lane rolls, masks the
-     run-tails with sentinels, reverses the B window (A ++ rev(B) is
-     bitonic), takes the elementwise lexicographic minimum (the bitonic
-     lowest-half property: exactly the output tile's multiset), and sorts it
-     with one log2(T)-stage all-ascending bitonic merge.
+     invalid window region with sentinels, takes the elementwise
+     lexicographic minimum of the two halves (the bitonic lowest-half
+     property: exactly the output tile's multiset), and sorts it with one
+     log2(T)-stage bitonic merge.
+
+The ladder stores runs in ALTERNATING direction — even runs ascending, odd
+runs descending (the natural orientation of the bitonic network): rev(B) of
+the merge-path window is then a contiguous FORWARD read of the descending
+storage (sentinel mask on the head instead of the tail), so A' ++ B-window
+is bitonic with zero in-kernel reversal stages. The final in-VMEM merge
+emits the output tile in the direction its own run needs (a comparator
+flip) and the output block index is mirrored within descending runs via the
+scalar-prefetch metadata; the last level's single run 0 is even = ascending.
 
 Measured on v5e at 1e8 (see BENCHMARKS.md): one full 18-stage streamed merge
 pass costs 4.8 ms/plane and compiles in ~3 s — vs 179 ms for XLA's whole
@@ -136,64 +145,32 @@ def _lane_stage(planes, nck, G, flat, d, asc):
     ]
 
 
-def _net_level(planes, nck, G, flat, k, final_asc):
+def _net_level(planes, nck, G, flat, k, final_dir):
     """All stages of bitonic level ``k`` (element distances k/2 .. 1).
 
-    final_asc: True for an all-ascending level (the last sort level and the
-    lowest-half merge); otherwise directions follow the standard
-    (q & k) == 0 rule of the bitonic network.
+    final_dir: None -> directions follow the standard (q & k) == 0 rule of
+    the bitonic network (interior sort levels); otherwise an int mask
+    (static or traced, 1 = ascending / 0 = descending) applied uniformly —
+    the last sort level and the lowest-half merge, whose output direction
+    alternates per run (module docstring).
     """
     d = k >> 1
     while d >= C:
         dr = d // C
-        if final_asc:
-            asc = 1
-        else:
+        if final_dir is None:
             nb = G // (2 * dr)
             bi = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, 1), 0)
             asc = jnp.where(((bi * (2 * d)) & k) == 0, 1, 0)
+        else:
+            asc = final_dir
         planes = _row_stage(planes, nck, G, dr, asc)
         d >>= 1
     while d >= 1:
-        asc = 1 if final_asc else jnp.where((flat & k) == 0, 1, 0)
+        asc = (
+            jnp.where((flat & k) == 0, 1, 0) if final_dir is None else final_dir
+        )
         planes = _lane_stage(planes, nck, G, flat, d, asc)
         d >>= 1
-    return planes
-
-
-def _reverse_tile(planes, G, flat):
-    """Full reversal of flat (T,) planes: index q -> T-1-q.
-
-    Reversal = XOR of the index with T-1: a composition of unconditional
-    block swaps per bit — row bits via reshape+concat, lane bits via two
-    static rolls + select (lax.rev is unimplemented in Mosaic TC).
-    """
-    b = (G * C) >> 1
-    while b >= C:
-        dr = b // C
-        nb = G // (2 * dr)
-        planes = [
-            jnp.concatenate(
-                [
-                    p.reshape(nb, 2, dr, C)[:, 1][:, None],
-                    p.reshape(nb, 2, dr, C)[:, 0][:, None],
-                ],
-                axis=1,
-            ).reshape(G * C)
-            for p in planes
-        ]
-        b >>= 1
-    while b >= 1:
-        sel = (flat & b) == 0
-        planes = [
-            jnp.where(
-                sel,
-                pltpu.roll(p.reshape(G, C), C - b, 1),
-                pltpu.roll(p.reshape(G, C), b, 1),
-            ).reshape(G * C)
-            for p in planes
-        ]
-        b >>= 1
     return planes
 
 
@@ -211,9 +188,18 @@ def _tilesort_kernel(nplanes, nck, G, klo, khi, tlog, *refs):
         jax.lax.broadcasted_iota(jnp.int32, (G, C), 0) * C
         + jax.lax.broadcasted_iota(jnp.int32, (G, C), 1)
     )
+    # runs alternate ascending (even tiles) / descending (odd tiles) so the
+    # merge ladder's rev(B) is a contiguous forward read (module docstring);
+    # only the final level's direction differs between the two.
+    tile_dir = jnp.int32(1) - (pl.program_id(0) & 1)
     for klog in range(klo, khi + 1):
         planes = _net_level(
-            planes, nck, G, flat, 1 << klog, final_asc=(klog == tlog)
+            planes,
+            nck,
+            G,
+            flat,
+            1 << klog,
+            final_dir=tile_dir if klog == tlog else None,
         )
     for o, p in zip(outs, planes):
         o[:] = p
@@ -270,10 +256,15 @@ def _tilesort_call(planes, nplanes, nck, G, interpret):
 def _level_splits(planes, nck, L, T, npad, ntiles_total):
     """Per-output-tile merge-path metadata for the runs-of-L level.
 
-    Returns (ntiles_total, 6) int32: [a_woff, s_a, a_rem, b_woff, s_b, b_rem]
-    where *_woff are row-aligned window offsets into the flat buffers, s_*
-    the sub-row shifts, *_rem how many valid run elements remain from the
-    window start (clamped to T; beyond -> sentinel mask in-kernel).
+    Returns (ntiles_total, 8) int32:
+    [a_woff, s_a, a_rem, b_woff, s_b, b_rem, out_tile, out_dir].
+    *_woff are row-aligned window offsets into the flat buffers, s_* the
+    sub-row shifts. a_rem = valid A elements from the window start (tail
+    beyond -> sentinel); b_rem = valid B elements at the window END — the B
+    window reads the run's DESCENDING storage forward, which IS rev(B') of
+    the merge-path window, so its sentinel mask covers the head. out_tile is
+    the block index this grid step writes (mirrored within descending output
+    runs), out_dir the final in-VMEM merge direction (1 asc / 0 desc).
 
     The binary search finds a = |A-part of the first dg merged elements| with
     A-priority on ties (stability): the predicate P(x) = A[x] <= B[dg-1-x] is
@@ -296,7 +287,8 @@ def _level_splits(planes, nck, L, T, npad, ntiles_total):
         lo, hi = carry
         mid = (lo + hi) // 2
         ai = run_a + mid
-        bi = run_a + L + (dg - 1 - mid)
+        # B_asc[i] lives at run_b_start + lb - 1 - i (descending storage)
+        bi = run_a + L + lb - dg + mid
         av = [jnp.take(pln, ai, mode="clip") for pln in planes[:nck]]
         bv = [jnp.take(pln, bi, mode="clip") for pln in planes[:nck]]
         le = _lex_le_i(av, bv, nck) == 1
@@ -309,22 +301,39 @@ def _level_splits(planes, nck, L, T, npad, ntiles_total):
     a, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
     a = jnp.clip(a, 0, la)
     b = jnp.clip(dg - a, 0, lb)
-    # clamp to the data region: a degenerate pair (B empty because the B-run
-    # would start past npad) must not point its window DMA out of bounds
     a_abs = jnp.minimum(run_a + a, npad)
-    b_abs = jnp.minimum(run_a + L + b, npad)
     a_rem = jnp.clip(la - a, 0, T).astype(jnp.int32)
     b_rem = jnp.clip(lb - b, 0, T).astype(jnp.int32)
+    # rev(B') window: the merge-path B window is B_asc[b : b+T]; in the
+    # descending storage its reversal reads FORWARD from
+    # run_b_start + (lb - b) - T, valid only in the last b_rem positions.
+    b_abs = jnp.where(lb > 0, run_a + L + (lb - b) - T, npad)
     # pad tiles (tstart >= npad): point both windows at the sentinel tail
     is_pad = tstart >= npad
     a_abs = jnp.where(is_pad, npad, a_abs)
     b_abs = jnp.where(is_pad, npad, b_abs)
     a_rem = jnp.where(is_pad, 0, a_rem)
     b_rem = jnp.where(is_pad, 0, b_rem)
+    # output placement: run p of the NEXT level is ascending when even,
+    # descending (stored mirrored) when odd; pad tiles write in place
+    out_dir = jnp.where(is_pad, 1, 1 - (p & 1))
+    olen_tiles = (la + lb) // T  # la, lb are multiples of T
+    out_mirror = run_a // T + olen_tiles - 1 - dg // T
+    out_tile = jnp.where(out_dir == 1, t, out_mirror)
     a_woff = (a_abs // C) * C
     b_woff = (b_abs // C) * C
     return jnp.stack(
-        [a_woff, a_abs - a_woff, a_rem, b_woff, b_abs - b_woff, b_rem], axis=1
+        [
+            a_woff,
+            a_abs - a_woff,
+            a_rem,
+            b_woff,
+            b_abs - b_woff,
+            b_rem,
+            out_tile,
+            out_dir,
+        ],
+        axis=1,
     )
 
 
@@ -369,6 +378,7 @@ def _mergepath_kernel(nplanes, nck, G, meta_ref, *refs):
         dmas.append(cp)
     for cp in dmas:
         cp.wait()
+    out_dir = meta_ref[t, 7]
     flat = (
         jax.lax.broadcasted_iota(jnp.int32, (G, C), 0) * C
         + jax.lax.broadcasted_iota(jnp.int32, (G, C), 1)
@@ -379,13 +389,16 @@ def _mergepath_kernel(nplanes, nck, G, meta_ref, *refs):
         sent = _SENT if i < nck else np.int32(0)
         wa = _align_window(scr_a[i][:].reshape(G + 1, C), s_a, G)
         a_planes.append(jnp.where(flat < a_rem, wa, sent).reshape(T))
+        # the B window is rev(B') already (descending storage read forward);
+        # its valid elements sit at the END, so the sentinel mask is a HEAD
+        # mask — sentinels-then-descending keeps the half descending, so
+        # A' ++ B-window stays bitonic with zero reversal stages.
         wb = _align_window(scr_b[i][:].reshape(G + 1, C), s_b, G)
-        b_planes.append(jnp.where(flat < b_rem, wb, sent).reshape(T))
-    b_planes = _reverse_tile(b_planes, G, flat)
+        b_planes.append(jnp.where(flat >= T - b_rem, wb, sent).reshape(T))
     # bitonic lowest-half: lo = min(A', rev(B')) is the output tile's multiset
     le = _lex_le_i(a_planes, b_planes, nck) == 1
     lo = [jnp.where(le, a, b) for a, b in zip(a_planes, b_planes)]
-    lo = _net_level(lo, nck, G, flat, T, final_asc=True)
+    lo = _net_level(lo, nck, G, flat, T, final_dir=out_dir)
     for o, p in zip(outs, lo):
         o[:] = p
 
@@ -397,7 +410,10 @@ def _mergepath_call(planes, meta, nplanes, nck, G, interpret):
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * nplanes,
-        out_specs=[pl.BlockSpec((T,), lambda t, *_: (t,))] * nplanes,
+        # block index from the prefetched meta: descending output runs are
+        # written mirrored (meta col 6), so placement follows the run's
+        # storage direction with no extra pass
+        out_specs=[pl.BlockSpec((T,), lambda t, meta: (meta[t, 6],))] * nplanes,
         scratch_shapes=[pltpu.VMEM((T + C,), jnp.int32)] * (2 * nplanes)
         + [pltpu.SemaphoreType.DMA((2 * nplanes,))],
     )
