@@ -10,7 +10,7 @@ from tests.conftest import make_keys
 import jax as _jax
 
 # float64 <-> u64 bitcasts are unimplemented by the TPU X64 rewriter; the
-# public API routes f64 keys natively there (dispatch._needs_native_float).
+# public API REFUSES f64 keys there (dispatch._check_f64_on_tpu).
 _skip_f64_on_tpu = _jax.default_backend() == "tpu"
 
 

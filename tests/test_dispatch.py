@@ -18,7 +18,7 @@ CFG = vk.SortConfig(interpret=INTERPRET)
 
 # engines excluding "fused" (its interpret-mode runtime is minutes even at
 # 4k; test_fused.py covers it at small sizes)
-ENGINES = ["tiled", "bitonic", "samplesort", "radix_tiled", "reference"]
+ENGINES = ["tiled", "merge", "bitonic", "samplesort", "radix_tiled", "reference"]
 
 
 @pytest.mark.parametrize("engine", ENGINES)
@@ -28,7 +28,9 @@ def test_sort_engines_exact(rng, engine):
     np.testing.assert_array_equal(out, np.sort(k))
 
 
-@pytest.mark.parametrize("engine", ["tiled", "bitonic", "radix_tiled", "reference"])
+@pytest.mark.parametrize(
+    "engine", ["tiled", "merge", "bitonic", "radix_tiled", "reference"]
+)
 def test_sort_pairs_engines_stable(rng, engine):
     k = make_keys(rng, 8_192, np.uint32, "uniform") % 97  # heavy ties
     v = np.arange(k.size, dtype=np.uint32)

@@ -6,6 +6,10 @@ compile-time constants (SORT_32BIT / SORT_64_BIT, NUM_BLOCKS_PER_WORKGROUP —
 SingleRadixSort.h:10-18, MultiRadixSort.cpp:12) and runtime push constants
 (multi_radixsort.comp:17-22). On TPU all of these become static Python
 config specialized at trace time (SURVEY.md §5 "Config / flag system").
+
+Every field here has a consumer in ops/dispatch.py; engine-specific tuned
+defaults (samplesort's kv tile, merge's VMEM-derived tile_rows) apply when
+the corresponding knob is left at its default.
 """
 
 from __future__ import annotations
@@ -22,21 +26,24 @@ class SortConfig:
         kernel when explicitly selected (``backend="fused"``) — the analog
         of the reference's single-regime size bound (README.md:18-21).
         Above this the kernel's quadratic matmul-scatter cost and compile
-        time are prohibitive.
-      chunk: elements per rank/scatter chunk inside kernels; destination
-        range of one MXU one-hot scatter. Power of two, multiple of 128.
-      tile: elements per grid step of the radix_tiled pipeline — the analog
-        of NUM_BLOCKS_PER_WORKGROUP * WORKGROUP_SIZE elements per workgroup
-        (reference MultiRadixSort.cpp:12-17); the central grain-size knob.
-      msd_bits: top bits used by the large-N MSD bucketize stage.
+        time are prohibitive; dispatch raises rather than compiling for
+        minutes.
+      chunk: elements per grid step of the radix_tiled pipeline's
+        destination kernel — the range one MXU one-hot rank computation
+        covers. Power of two, multiple of 128.
+      tile: grain-size override, in elements per tile — the analog of the
+        reference's NUM_BLOCKS_PER_WORKGROUP * WORKGROUP_SIZE knob
+        (reference MultiRadixSort.cpp:12-17). ``None`` (default) keeps each
+        engine's measured-optimal default (samplesort: 2^19 keys-only /
+        2^21 kv; merge: VMEM-derived tile_rows). When set, samplesort uses
+        it as tile/bucket target and merge derives its VMEM tile from it.
       interpret: run Pallas kernels in interpreter mode (the validation-
         layer analog, SURVEY.md §5 "race detection").
     """
 
     fused_max_n: int = 1 << 15
     chunk: int = 2048
-    tile: int = 1 << 19
-    msd_bits: int = 8
+    tile: int | None = None
     interpret: bool = False
 
     def replace(self, **kw) -> "SortConfig":

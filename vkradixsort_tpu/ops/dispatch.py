@@ -98,15 +98,27 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
     if path == "merge":
         from vkradixsort_tpu.ops import merge
 
-        return merge.sort_merge(enc, vals, interpret=config.interpret)
+        tile_rows = None
+        if config.tile is not None:
+            # elements-per-tile knob -> VMEM rows of 2048 (power of two)
+            tile_rows = 1 << max(int(config.tile // merge.C).bit_length() - 1, 1)
+        return merge.sort_merge(
+            enc, vals, tile_rows=tile_rows, interpret=config.interpret
+        )
     if path == "bitonic":
+        from vkradixsort_tpu.engine.context import default_context
         from vkradixsort_tpu.ops import bitonic, segsort
 
-        if enc.shape[0] > (1 << 22):
+        # the whole padded array + working copies live in VMEM: with the
+        # kernel's ~4 resident planes of 4 bytes, the device budget caps N
+        # (64 MB VMEM on v5e -> 4M keys; the reference's analog bound is
+        # shared-memory sizing, single_radixsort.comp:30-38)
+        max_n = default_context().info.vmem_bytes // 16
+        if enc.shape[0] > max_n:
             raise ValueError(
                 "bitonic engine holds the whole (padded) array in VMEM and "
-                "is bound to ~4M keys on current chips; use the 'tiled' or "
-                "'samplesort' engines for larger arrays (BENCHMARKS.md)"
+                f"is bound to ~{max_n >> 20}M keys on this device; use the "
+                "'tiled' or 'merge' engines for larger arrays (BENCHMARKS.md)"
             )
         s = segsort.to_signed_order(enc)
         out_s, out_v = bitonic.bitonic_sort_block(
@@ -117,17 +129,30 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
         from vkradixsort_tpu.ops import fused
 
         _only_one_payload(path, vals)
+        if enc.shape[0] > config.fused_max_n:
+            raise ValueError(
+                f"fused engine accepts N <= config.fused_max_n "
+                f"({config.fused_max_n}); beyond that its matmul-scatter "
+                "cost and ~10-20 s/shape compile are prohibitive "
+                "(BENCHMARKS.md) — use 'tiled' or 'merge', or raise "
+                "config.fused_max_n explicitly"
+            )
         out_k, out_v = fused.sort_fused(enc, vals[0] if vals else None, config)
         return out_k, (out_v,) if vals else ()
     if path == "samplesort":
         from vkradixsort_tpu.ops import samplesort
 
         _only_one_payload(path, vals)
+        grain = {} if config.tile is None else dict(
+            tile_target=config.tile, bucket_target=config.tile
+        )
         if not vals:
-            out = samplesort.sort_samplesort(enc, interpret=config.interpret)
+            out = samplesort.sort_samplesort(
+                enc, interpret=config.interpret, **grain
+            )
             return out, ()
         out_k, out_v = samplesort.sort_pairs_samplesort(
-            enc, vals[0], interpret=config.interpret
+            enc, vals[0], interpret=config.interpret, **grain
         )
         return out_k, (out_v,)
     if path == "radix_tiled":
@@ -135,7 +160,10 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
 
         _only_one_payload(path, vals)
         out_k, out_v = radix_tiled.sort_radix_tiled(
-            enc, vals[0] if vals else None, interpret=config.interpret
+            enc,
+            vals[0] if vals else None,
+            tile=config.chunk,
+            interpret=config.interpret,
         )
         return out_k, (out_v,) if vals else ()
     if path == "reference":

@@ -266,7 +266,8 @@ def _sort_fused_impl(enc, values_u, config: SortConfig, has_values: bool, value_
 def sort_fused(enc: jnp.ndarray, values, config: SortConfig = DEFAULT_CONFIG):
     """Sort encoded (unsigned) keys + optional values entirely in VMEM.
 
-    Routed for N <= config.fused_max_n, the TPU analog of the reference's
+    Dispatch admits N <= config.fused_max_n to this engine (explicit
+    ``backend="fused"`` only), the TPU analog of the reference's
     single-workgroup regime (README.md:18-21 recommends it below ~10k keys).
     """
     has_values = values is not None

@@ -15,9 +15,9 @@ multi_radixsort.comp:
   4. the physical move. TPU has no fast global scatter (measured ~150M
      elts/s via XLA scatter on v5e — see BENCHMARKS.md), so this step uses
      XLA scatter and the pipeline serves as the *structural* radix path;
-     the dispatcher routes production sorts to ops/tiled.py. The
-     destination computation (steps 1-3) is shared with the distributed
-     shuffle, where the move rides ICI all-to-all instead.
+     the dispatcher routes production sorts to ops/tiled.py and large-N
+     custom-kernel sorts to ops/merge.py, both of which sidestep
+     per-element scatter entirely.
 
 Ping-pong: like the reference's descriptor-set swap per iteration
 (MultiRadixSort.cpp:34-46), XLA double-buffers the pass outputs; with
