@@ -46,3 +46,39 @@ def test_bitonic_stable_pairs(rng):
     perm = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(got_v), perm.astype(np.int32))
     np.testing.assert_array_equal(np.asarray(got_k), keys[perm])
+
+
+# --- 64-bit keys/values as two int32 planes (the reference's one-knob u64
+# widening, single_radixsort.comp:14 ITERATIONS=8) --------------------------
+
+
+@pytest.mark.parametrize("dtype", [np.int64, np.uint64])
+def test_bitonic_64bit_keys(rng, dtype):
+    info = np.iinfo(dtype)
+    keys = rng.integers(info.min, info.max, size=5_000, dtype=dtype)
+    got, _ = bitonic_sort_block(jnp.asarray(keys), interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got), np.sort(keys))
+
+
+def test_bitonic_64bit_kv_stable(rng):
+    # i64 keys with heavy ties + an 8-byte payload plane
+    keys = rng.integers(-3, 4, size=3_000).astype(np.int64) << 32
+    vals = rng.integers(0, 1 << 62, size=3_000, dtype=np.uint64)
+    got_k, (got_v,) = bitonic_sort_block(
+        jnp.asarray(keys), (jnp.asarray(vals),), stable=True, interpret=INTERPRET
+    )
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(got_k), keys[perm])
+    np.testing.assert_array_equal(np.asarray(got_v), vals[perm])
+
+
+def test_bitonic_u64_via_dispatch(rng):
+    import vkradixsort_tpu as vk
+
+    keys = rng.integers(0, np.iinfo(np.uint64).max, size=20_000, dtype=np.uint64)
+    out = vk.sort(
+        jnp.asarray(keys),
+        backend="bitonic",
+        config=vk.SortConfig(interpret=INTERPRET),
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
