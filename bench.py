@@ -5,16 +5,20 @@ stable, exactly matching the std::sort oracle. vs_baseline is relative to
 the reference's only absolute published number: 52.7M keys/s for 1e6 u32
 keys on an RTX 3070 (reference README.md:256, single_radixsort).
 
-Correctness at bench scale is validated DEVICE-SIDE (sortedness + key
-multiset preservation + key/value pairing checksum) because fetching 800MB
-over the host tunnel is impractical; exact bitwise oracle checks vs numpy
-run in tests/ at every size the host can hold. A 1e6 subsample IS fetched
-and checked bitwise against np.sort here.
+Correctness at bench scale (fetching 800MB over the host tunnel is
+impractical) is gated on BITWISE WINDOW CHECKS: the host computes the full
+1e8 stable oracle permutation with the native C++ runtime
+(native.oracle_argsort — the reference's testSort oracle at scale,
+SingleRadixSort.cpp:106-126) and K random 1024-element windows of the
+device output are fetched and compared bitwise, keys AND values. Device-side
+sortedness + key-multiset histograms run as secondary checks. A 1e6
+subsample is additionally fetched and checked bitwise in full.
 
 Extra diagnostics go to stderr; stdout carries exactly one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -48,6 +52,37 @@ def device_side_checks(vk, jnp, jax, keys, values, out_k, out_v):
     return diffs_ok and hist_ok and pair_ok
 
 
+def window_oracle_checks(jnp, out_k, out_v, keys_np, rng, nwin=16, width=1024):
+    """PRIMARY validation gate at bench scale: bitwise-compare random
+    device-output windows against the native C++ stable oracle.
+
+    The host computes the full stable argsort of the input with the native
+    runtime (400MB permutation — cheap host-side), then ``nwin`` random
+    ``width``-wide windows of the device result are fetched (~4KB each over
+    the tunnel) and compared bitwise: keys against the oracle-sorted keys,
+    values against the oracle permutation itself (values are arange).
+    """
+    from vkradixsort_tpu import native
+
+    n = keys_np.size
+    t0 = time.time()
+    perm = native.oracle_argsort(keys_np)
+    log(f"native stable-argsort oracle at n={n}: {time.time()-t0:.1f}s")
+    sorted_keys = keys_np[perm]
+    starts = np.sort(rng.integers(0, n - width, size=nwin).astype(np.int64))
+    starts[0] = 0  # always include both boundary windows
+    starts[-1] = n - width
+    for s in starts:
+        s = int(s)
+        got_k = np.asarray(out_k[s : s + width])
+        got_v = np.asarray(out_v[s : s + width])
+        if not np.array_equal(got_k, sorted_keys[s : s + width]):
+            return False, f"key window mismatch at [{s}, {s+width})"
+        if not np.array_equal(got_v, perm[s : s + width]):
+            return False, f"value window mismatch at [{s}, {s+width})"
+    return True, f"{nwin} windows of {width} bitwise-exact (keys+values)"
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -55,7 +90,8 @@ def main():
     import vkradixsort_tpu as vk
     from vkradixsort_tpu.utils.timing import measure_pairs_seconds_per_call
 
-    n = 100_000_000
+    # Contract size is 1e8; VKRS_BENCH_N overrides for CPU smoke runs only.
+    n = int(float(os.environ.get("VKRS_BENCH_N", "1e8")))
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0xBE7C)
 
@@ -69,13 +105,17 @@ def main():
     log("1e6 bitwise oracle vs np stable argsort: exact")
 
     # Headline: 1e8 kv pairs on the real chip.
-    keys = jnp.asarray(rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
+    keys_np = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    keys = jnp.asarray(keys_np)
     values = jnp.arange(n, dtype=jnp.uint32)
 
     def f(k, v):
         return vk.sort_pairs(k, v)
 
     out_k, out_v = jax.jit(f)(keys, values)
+    ok, detail = window_oracle_checks(jnp, out_k, out_v, keys_np, rng)
+    assert ok, f"1e8 window-oracle validation FAILED: {detail}"
+    log(f"1e8 bitwise window-oracle validation: {detail}")
     checks = device_side_checks(vk, jnp, jax, keys, values, out_k, out_v)
     assert checks, "device-side validation failed at 1e8"
     log("1e8 device-side validation (sorted/multiset/pairing): ok")
@@ -103,7 +143,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "u32 kv-pair sort throughput (N=1e8, single chip, stable, validated)",
+                "metric": f"u32 kv-pair sort throughput (N={n:.0e}, single chip, stable, validated)",
                 "value": round(keys_per_s / 1e6, 1),
                 "unit": "M keys/s/chip",
                 "vs_baseline": round(keys_per_s / REFERENCE_KEYS_PER_S, 2),
