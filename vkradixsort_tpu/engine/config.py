@@ -51,3 +51,37 @@ class SortConfig:
 
 
 DEFAULT_CONFIG = SortConfig()
+
+
+# Per-N grain tuning table — the analog of the reference's published
+# NBPW-sweep optima (reference README.md:253-283 sweeps NBPW at each of
+# seven sizes and reads off the sweet spot). Measured with
+# benchmarks/grain_sweep.py on v5e (CSVs in benchmarks/results/); the
+# dispatcher consults this whenever ``SortConfig.tile`` is left None.
+#
+# engine -> op ("keys" | "kv") -> list of (max_n, elements_per_tile),
+# scanned in order; first row with n <= max_n wins.
+GRAIN_TABLE: dict = {
+    "samplesort": {
+        # v5e_samplesort_grain_1e8.csv: keys-only optimum 2^19 at 1e8;
+        # kv stays 2^21 (3-plane placement is descriptor-bound).
+        "keys": [(float("inf"), 1 << 19)],
+        "kv": [(float("inf"), 1 << 21)],
+    },
+    "merge": {
+        # v5e_merge_grain.csv: G=128 rows (T=2^18) measured best at 1e8
+        # keys-only; kv shrinks with the plane count via the VMEM budget
+        # (ops/merge._default_tile_rows) — table rows override once swept.
+        "keys": [(float("inf"), 128 * 2048)],
+        "kv": [(float("inf"), None)],  # None -> engine's VMEM-derived default
+    },
+}
+
+
+def grain_for(engine: str, op: str, n: int):
+    """Elements-per-tile for ``engine`` sorting ``n`` elements (``op`` is
+    "keys" or "kv"). None means the engine's built-in default applies."""
+    for max_n, grain in GRAIN_TABLE.get(engine, {}).get(op, []):
+        if n <= max_n:
+            return grain
+    return None

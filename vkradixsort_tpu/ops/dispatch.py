@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vkradixsort_tpu.engine.config import DEFAULT_CONFIG, SortConfig
+from vkradixsort_tpu.engine.config import DEFAULT_CONFIG, SortConfig, grain_for
 from vkradixsort_tpu.ops import reference
 from vkradixsort_tpu.ops.common import decode_keys, encode_keys, sortable_dtype
 
@@ -98,10 +98,15 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
     if path == "merge":
         from vkradixsort_tpu.ops import merge
 
+        # grain: explicit config.tile, else the measured per-N table
+        # (engine/config.GRAIN_TABLE — the NBPW-optima analog)
+        tile = config.tile
+        if tile is None:
+            tile = grain_for("merge", "kv" if vals else "keys", enc.shape[0])
         tile_rows = None
-        if config.tile is not None:
+        if tile is not None:
             # elements-per-tile knob -> VMEM rows of 2048 (power of two)
-            tile_rows = 1 << max(int(config.tile // merge.C).bit_length() - 1, 1)
+            tile_rows = 1 << max(int(tile // merge.C).bit_length() - 1, 1)
         return merge.sort_merge(
             enc, vals, tile_rows=tile_rows, interpret=config.interpret
         )
@@ -143,8 +148,11 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
         from vkradixsort_tpu.ops import samplesort
 
         _only_one_payload(path, vals)
-        grain = {} if config.tile is None else dict(
-            tile_target=config.tile, bucket_target=config.tile
+        tile = config.tile
+        if tile is None:
+            tile = grain_for("samplesort", "kv" if vals else "keys", enc.shape[0])
+        grain = {} if tile is None else dict(
+            tile_target=tile, bucket_target=tile
         )
         if not vals:
             out = samplesort.sort_samplesort(
