@@ -131,6 +131,36 @@ def test_grain_table_lookup():
                 assert g is None or (g > 0 and (g & (g - 1)) == 0), (eng, op, g)
 
 
+def test_route_table_lookup():
+    from vkradixsort_tpu.engine.config import ROUTE_TABLE, route_for
+    from vkradixsort_tpu.ops.dispatch import ENGINES
+
+    assert route_for("keys", 10**8) in ENGINES
+    assert route_for("nosuch_op", 10) == "tiled"  # safe default
+    for op, rows in ROUTE_TABLE.items():
+        assert rows == sorted(rows, key=lambda r: r[0]), op
+        for _max_n, eng in rows:
+            assert eng in ENGINES, (op, eng)
+
+
+def test_route_merge_envelope_fallback(monkeypatch):
+    # when the table says merge but the call is outside the engine's
+    # envelope (non-4/8-byte payload), the router must fall back to tiled
+    import types
+
+    from vkradixsort_tpu.engine import config as cfgmod
+    from vkradixsort_tpu.ops import dispatch
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
+    monkeypatch.setitem(cfgmod.ROUTE_TABLE, "kv", [(float("inf"), "merge")])
+    v8 = types.SimpleNamespace(dtype=np.dtype(np.uint8))
+    v4 = types.SimpleNamespace(dtype=np.dtype(np.uint32))
+    assert dispatch._route(1000, CFG, None, op="kv", vals=(v4, v8)) == "tiled"
+    assert dispatch._route(1000, CFG, None, op="kv", vals=(v4,)) == "merge"
+    # explicit backend always wins over the table
+    assert dispatch._route(1000, CFG, "bitonic", op="kv", vals=(v8,)) == "bitonic"
+
+
 def test_dispatcher_consults_grain_table(rng, monkeypatch):
     # the dispatcher must route the table's grain into the engine when
     # config.tile is None (VERDICT round-1 #5: a tuning table the

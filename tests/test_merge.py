@@ -107,6 +107,21 @@ def test_sort_merge_multi_payload_8byte(rng):
     np.testing.assert_array_equal(np.asarray(o64), v64[perm])
 
 
+@pytest.mark.parametrize("dtype", [np.uint32, np.uint64])
+def test_argsort_merge_stable(rng, dtype):
+    # the 2-plane fast path: position plane doubles as carry AND answer
+    from vkradixsort_tpu.ops.merge import argsort_merge
+
+    n = 30_000
+    # full-range keys (the u64 hi plane must matter) with planted ties
+    keys = rng.integers(0, np.iinfo(dtype).max, size=n, dtype=dtype)
+    keys[rng.integers(0, n, size=n // 4)] = keys[0]
+    perm = argsort_merge(jnp.asarray(keys), tile_rows=2, interpret=INTERPRET)
+    np.testing.assert_array_equal(
+        np.asarray(perm), np.argsort(keys, kind="stable").astype(np.uint32)
+    )
+
+
 def test_sort_merge_rejects_bad_dtypes(rng):
     with pytest.raises(TypeError):
         sort_merge(jnp.zeros(128, jnp.int32), interpret=INTERPRET)
@@ -131,6 +146,14 @@ def test_dispatch_merge_float_descending(rng):
     keys = rng.standard_normal(50_000).astype(np.float32)
     out = vk.sort(jnp.asarray(keys), backend="merge", config=CFG, descending=True)
     np.testing.assert_array_equal(np.asarray(out), np.sort(keys)[::-1])
+
+
+def test_dispatch_merge_argsort(rng):
+    keys = make_keys(rng, 50_000, np.uint32, "zipf")
+    perm = vk.argsort(jnp.asarray(keys), backend="merge", config=CFG)
+    np.testing.assert_array_equal(
+        np.asarray(perm), np.argsort(keys, kind="stable").astype(np.uint32)
+    )
 
 
 def test_dispatch_merge_int64_kv(rng):

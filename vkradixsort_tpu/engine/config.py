@@ -69,13 +69,42 @@ GRAIN_TABLE: dict = {
         "kv": [(float("inf"), 1 << 21)],
     },
     "merge": {
-        # v5e_merge_grain.csv: G=128 rows (T=2^18) measured best at 1e8
-        # keys-only; kv shrinks with the plane count via the VMEM budget
-        # (ops/merge._default_tile_rows) — table rows override once swept.
+        # G=128 rows (T=2^18) is the engine's analytic VMEM-budget default
+        # for one plane (ops/merge._default_tile_rows); kv shrinks with the
+        # plane count. Rows here override once benchmarks/grain_sweep.py
+        # --engine merge has swept the real chip (CSV lands in
+        # benchmarks/results/).
         "keys": [(float("inf"), 128 * 2048)],
         "kv": [(float("inf"), None)],  # None -> engine's VMEM-derived default
+        "argsort": [(float("inf"), None)],
     },
 }
+
+
+# Default-routing table — which engine ``backend=None`` picks on TPU, per
+# operation and size. The analog of the reference's published single-vs-multi
+# regime guidance (reference README.md:11-22: "single for N < ~10k, multi
+# beyond"), except measured and machine-applied: rows are (max_n, engine),
+# scanned in order, first row with n <= max_n wins. Engines listed here must
+# accept arbitrary payload counts/dtypes or the dispatcher falls back to
+# "tiled" when the call is outside the engine's envelope (see
+# ops/dispatch._route).
+ROUTE_TABLE: dict = {
+    # XLA's comparator sort ("tiled") measured fastest at every single-chip
+    # size in round 1 (BENCHMARKS.md). The merge engine takes rows here as
+    # soon as the real-chip sweep shows its crossover.
+    "keys": [(float("inf"), "tiled")],
+    "kv": [(float("inf"), "tiled")],
+    "argsort": [(float("inf"), "tiled")],
+}
+
+
+def route_for(op: str, n: int) -> str:
+    """Default engine for ``op`` ("keys" | "kv" | "argsort") at size ``n``."""
+    for max_n, eng in ROUTE_TABLE.get(op, []):
+        if n <= max_n:
+            return eng
+    return "tiled"
 
 
 def grain_for(engine: str, op: str, n: int):

@@ -38,7 +38,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vkradixsort_tpu.engine.config import DEFAULT_CONFIG, SortConfig, grain_for
+from vkradixsort_tpu.engine.config import (
+    DEFAULT_CONFIG,
+    SortConfig,
+    grain_for,
+    route_for,
+)
 from vkradixsort_tpu.ops import reference
 from vkradixsort_tpu.ops.common import decode_keys, encode_keys, sortable_dtype
 
@@ -60,12 +65,27 @@ def _on_tpu() -> bool:
         return False
 
 
-def _route(n: int, config: SortConfig, backend: str | None) -> str:
+def _route(
+    n: int,
+    config: SortConfig,
+    backend: str | None,
+    op: str = "keys",
+    vals: tuple = (),
+) -> str:
     if backend is not None:
         if backend not in ENGINES:
             raise ValueError(f"unknown backend {backend!r}; pick from {ENGINES}")
         return backend
-    return "tiled" if _on_tpu() else "reference"
+    if not _on_tpu():
+        return "reference"
+    path = route_for(op, n)
+    if path == "merge" and (
+        n >= (1 << 31)  # int32 plane positions/splits
+        or any(v.dtype.itemsize not in (4, 8) for v in vals)
+    ):
+        # outside the merge engine's envelope -> the always-valid XLA path
+        return "tiled"
+    return path
 
 
 def _check_f64_on_tpu(keys) -> None:
@@ -98,17 +118,11 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
     if path == "merge":
         from vkradixsort_tpu.ops import merge
 
-        # grain: explicit config.tile, else the measured per-N table
-        # (engine/config.GRAIN_TABLE — the NBPW-optima analog)
-        tile = config.tile
-        if tile is None:
-            tile = grain_for("merge", "kv" if vals else "keys", enc.shape[0])
-        tile_rows = None
-        if tile is not None:
-            # elements-per-tile knob -> VMEM rows of 2048 (power of two)
-            tile_rows = 1 << max(int(tile // merge.C).bit_length() - 1, 1)
         return merge.sort_merge(
-            enc, vals, tile_rows=tile_rows, interpret=config.interpret
+            enc,
+            vals,
+            tile_rows=_merge_tile_rows(config, "kv" if vals else "keys", enc.shape[0]),
+            interpret=config.interpret,
         )
     if path == "bitonic":
         from vkradixsort_tpu.engine.context import default_context
@@ -188,6 +202,21 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
     raise ValueError(f"unknown sort path {path!r}")
 
 
+def _merge_tile_rows(config: SortConfig, op: str, n: int) -> int | None:
+    """Merge-engine grain: explicit ``config.tile``, else the measured per-N
+    table (engine/config.GRAIN_TABLE — the NBPW-optima analog), converted
+    from elements-per-tile to VMEM rows of 2048 (floored to a power of two).
+    None lets the engine apply its VMEM-budget default."""
+    from vkradixsort_tpu.ops import merge
+
+    tile = config.tile
+    if tile is None:
+        tile = grain_for("merge", op, n)
+    if tile is None:
+        return None
+    return 1 << max(int(tile // merge.C).bit_length() - 1, 1)
+
+
 def _only_one_payload(path: str, vals: tuple) -> None:
     if len(vals) > 1:
         raise NotImplementedError(
@@ -229,7 +258,7 @@ def sort(
     if keys.ndim != 1:
         raise ValueError(f"sort expects 1-D or 2-D keys, got shape {keys.shape}")
     _check_f64_on_tpu(keys)
-    path = _route(keys.shape[0], config, backend)
+    path = _route(keys.shape[0], config, backend, op="keys")
     enc = encode_keys(keys)
     if descending:
         enc = ~enc
@@ -278,7 +307,7 @@ def sort_pairs(
             f"{keys.shape} / {[v.shape for v in vals]}"
         )
     _check_f64_on_tpu(keys)
-    path = _route(keys.shape[0], config, backend)
+    path = _route(keys.shape[0], config, backend, op="kv", vals=vals)
     if (
         not stable
         and not multi
@@ -337,7 +366,7 @@ def argsort(
     if keys.ndim != 1:
         raise ValueError(f"argsort expects 1-D or 2-D keys, got shape {keys.shape}")
     n = keys.shape[0]
-    path = _route(n, config, backend)
+    path = _route(n, config, backend, op="argsort")
     if (
         path == "tiled"
         and jax.config.jax_enable_x64
@@ -355,6 +384,19 @@ def argsort(
         packed = (enc.astype(jnp.uint64) << np.uint64(32)) | idx
         sp = segsort.sort_flat(packed, stable=False)
         return (sp & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    if path == "merge" and n < (1 << 31):
+        # 2-plane fast path: the position plane is both the stability carry
+        # AND the answer, so argsort costs one plane less than kv
+        from vkradixsort_tpu.ops import merge
+
+        enc = encode_keys(keys)
+        if descending:
+            enc = ~enc
+        return merge.argsort_merge(
+            enc,
+            tile_rows=_merge_tile_rows(config, "argsort", n),
+            interpret=config.interpret,
+        )
     idx_dtype = jnp.uint32 if n < (1 << 32) else jnp.uint64
     idx = jnp.arange(n, dtype=idx_dtype)
     _, perm = sort_pairs(keys, idx, config=config, backend=backend, descending=descending)

@@ -597,3 +597,39 @@ def sort_merge(
             out_vals.append(out[pos].view(dtype))
         pos += k
     return out_enc, tuple(out_vals)
+
+
+def argsort_merge(
+    enc: jnp.ndarray,
+    *,
+    tile_rows: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stable argsort on the merge engine: uint32 permutation for n < 2^31.
+
+    One plane cheaper than ``sort_merge(enc, (positions,))``: the original-
+    position compare plane that makes the bitonic network stable IS the
+    answer, so the pipeline runs nck = key-planes + 1 total planes with no
+    separate carry (cf. the packed-u64 argsort fast path on the tiled
+    engine, dispatch.argsort).
+    """
+    n = enc.shape[0]
+    if n >= (1 << 31):
+        raise NotImplementedError("merge engine is bound to n < 2^31")
+    if enc.dtype == jnp.uint32:
+        key_planes = [_u32_signed(enc)]
+    elif enc.dtype == jnp.uint64:
+        key_planes = [
+            _u32_signed((enc >> np.uint64(32)).astype(jnp.uint32)),
+            _u32_signed((enc & _LOW32).astype(jnp.uint32)),
+        ]
+    else:
+        raise TypeError(f"merge engine sorts encoded u32/u64 keys, got {enc.dtype}")
+    planes = key_planes + [jnp.arange(n, dtype=jnp.int32)]
+    if tile_rows is None:
+        tile_rows = _default_tile_rows(len(planes))
+    out = sort_merge_planes(
+        planes, len(planes), tile_rows=tile_rows, interpret=interpret
+    )
+    # positions are non-negative int32: the uint32 view is value-identical
+    return out[-1].view(jnp.uint32)
