@@ -27,10 +27,44 @@ def main() -> None:
     import matplotlib.pyplot as plt
 
     rows = []
+    grain_rows = []
     for path in args.csvs:
         with open(path, newline="") as fh:
-            rows.extend(csv.DictReader(fh))
+            for r in csv.DictReader(fh):
+                # benchmarks/grain_sweep.py rows carry a `grain` column
+                # (tile_target in older CSVs); sweep.py rows carry `dtype`
+                if "grain" in r or "tile_target" in r:
+                    grain_rows.append(r)
+                else:
+                    rows.append(r)
     os.makedirs(args.out, exist_ok=True)
+
+    # Grain-study plots — the analog of the reference's per-N NBPW curves
+    # (timings/radixsort_multi_<N>.png): time vs elements-per-tile, one
+    # curve per N, one figure per (engine, op).
+    ggroups = collections.defaultdict(lambda: collections.defaultdict(list))
+    for r in grain_rows:
+        grain = int(r.get("grain") or r["tile_target"])
+        op = "kv" if r.get("kv", "0") == "1" else "keys"
+        key = (r.get("engine", "samplesort"), op)
+        ggroups[key][int(r["n"])].append((grain, float(r["tpu_ms"])))
+    for (engine, op), by_n in ggroups.items():
+        fig, ax = plt.subplots(figsize=(7, 5))
+        for n, pts in sorted(by_n.items()):
+            pts.sort()
+            ax.plot([p[0] for p in pts], [p[1] for p in pts],
+                    marker="o", label=f"N={n:.0e}")
+        ax.set_xscale("log", base=2)
+        ax.set_yscale("log")
+        ax.set_xlabel("grain (elements per tile)")
+        ax.set_ylabel("sort time (ms)")
+        ax.set_title(f"{engine} {op}: grain sweep — TPU v5e")
+        ax.grid(True, which="both", alpha=0.3)
+        ax.legend()
+        name = f"grain_{engine}_{op}.png"
+        fig.savefig(os.path.join(args.out, name), dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        print(f"wrote {os.path.join(args.out, name)}")
 
     # One comparison plot per (dtype, op, distribution): engine curves of
     # time vs N on log-log axes, like timings/radixsort_comparison.png.
