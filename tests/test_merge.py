@@ -25,7 +25,7 @@ CFG = SortConfig(interpret=INTERPRET)
 # --- plane-level driver -----------------------------------------------------
 
 
-@pytest.mark.parametrize("n", [1, 100, 4096, 8192, 40_000, 100_001])
+@pytest.mark.parametrize("n", [0, 1, 100, 4096, 8192, 40_000, 100_001])
 def test_planes_keys_multilevel(rng, n):
     # tile_rows=2 -> T=4096: n=100_001 runs a 5-level ladder with a ragged
     # final run, covering empty-B pairs and pad tiles
