@@ -19,8 +19,10 @@ Extra diagnostics go to stderr; stdout carries exactly one JSON line.
 
 import json
 import os
+import subprocess
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -30,6 +32,46 @@ def log(*a):
 
 
 REFERENCE_KEYS_PER_S = 52.7e6  # reference README.md:256
+
+
+def probe_backend_with_retry(attempts=3, wait_s=60, probe_timeout_s=300):
+    """Probe JAX backend init in a SUBPROCESS with a bounded retry.
+
+    The axon tunnel's failure modes include both raising at init and hanging
+    indefinitely (the round-2 outage); probing in-process would inherit the
+    hang. A subprocess probe with a timeout covers both, and a transient
+    outage gets ``attempts`` chances ``wait_s`` apart before the bench gives
+    up with a diagnostic JSON line instead of a raw traceback.
+    """
+    last = "no attempt made"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()); "
+                 "import jax.numpy as jnp; print(jnp.sum(jnp.arange(8)))"],
+                capture_output=True, text=True, timeout=probe_timeout_s)
+            if r.returncode == 0:
+                log(f"backend probe ok (attempt {i+1}): {r.stdout.strip()}")
+                return None
+            last = f"rc={r.returncode}: {r.stderr.strip()[-500:]}"
+        except subprocess.TimeoutExpired:
+            last = f"probe hung past {probe_timeout_s}s (tunnel down?)"
+        log(f"backend probe attempt {i+1}/{attempts} failed: {last}")
+        if i + 1 < attempts:
+            time.sleep(wait_s)
+    return last
+
+
+def emit_failure_json(stage, detail):
+    """Contract line on failure: valid JSON with a diagnostic, value 0."""
+    print(json.dumps({
+        "metric": "u32 kv-pair sort throughput (FAILED)",
+        "value": 0,
+        "unit": "M keys/s/chip",
+        "vs_baseline": 0,
+        "error": f"{stage}: {detail}"[:2000],
+    }))
 
 
 def device_side_checks(vk, jnp, jax, keys, values, out_k, out_v):
@@ -84,6 +126,12 @@ def window_oracle_checks(jnp, out_k, out_v, keys_np, rng, nwin=16, width=1024):
 
 
 def main():
+    err = probe_backend_with_retry(
+        attempts=int(os.environ.get("VKRS_BENCH_PROBE_ATTEMPTS", "3")))
+    if err is not None:
+        emit_failure_json("backend-init", err)
+        return 1
+
     import jax
     import jax.numpy as jnp
 
@@ -150,7 +198,13 @@ def main():
             }
         )
     )
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        sys.exit(main())
+    except Exception as e:  # contract: stdout carries one JSON line, always
+        log(traceback.format_exc())
+        emit_failure_json(type(e).__name__, str(e))
+        sys.exit(1)
