@@ -13,7 +13,7 @@ CFG = vk.SortConfig(interpret=INTERPRET)
 
 @pytest.mark.parametrize("n", [0, 1, 2])
 @pytest.mark.parametrize(
-    "engine", ["reference", "tiled", "bitonic", "samplesort", "radix_tiled"]
+    "engine", ["reference", "tiled", "merge", "bitonic", "samplesort", "radix_tiled"]
 )
 def test_tiny_n(n, engine):
     k = jnp.asarray(np.arange(n, dtype=np.uint32)[::-1].copy())
@@ -28,3 +28,18 @@ def test_tiny_n_pairs():
         ok, ov = vk.sort_pairs(k, v, config=CFG)
         assert ok.shape == (n,) and ov.shape == (n,)
         np.testing.assert_array_equal(np.asarray(ov), np.arange(n, dtype=np.int32))
+
+
+@pytest.mark.parametrize("n", [0, 1, 2])
+def test_tiny_n_merge_dispatch_kv_argsort(n):
+    """Dispatch-level encode/decode through the merge engine at tiny N —
+    the plane-level edges live in test_merge.py; this covers the public
+    sort_pairs/argsort entry points routing backend='merge'."""
+    k = jnp.asarray(np.arange(n, dtype=np.int32)[::-1] - 1)
+    v = jnp.asarray(np.arange(n, dtype=np.uint32) + 7)
+    ok, ov = vk.sort_pairs(k, v, config=CFG, backend="merge")
+    perm = np.argsort(np.asarray(k), kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok), np.sort(np.asarray(k)))
+    np.testing.assert_array_equal(np.asarray(ov), (np.asarray(v))[perm])
+    pa = np.asarray(vk.argsort(k, config=CFG, backend="merge"))
+    np.testing.assert_array_equal(pa, perm.astype(pa.dtype))
