@@ -296,3 +296,46 @@ def test_sort_sharded_gidx_int64(rng):
     perm = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(got_k, keys[perm])
     np.testing.assert_array_equal(got_v, perm.astype(np.int32))
+
+
+def test_sort_sharded_local_engine_merge(rng):
+    """Local phases routed through the merge engine (interpret mode on the
+    CPU mesh): exact + stable vs the oracle, bitwise-equal to the XLA local
+    path. Exercises the dispatch seam of ROUTE_TABLE['dist_local']."""
+    n = 8 * 2048
+    keys = (make_keys(rng, n, np.uint32, "uniform") % 251).astype(np.uint32)
+    vals = np.arange(n, dtype=np.int32)
+    mesh = _mesh()
+    pk, counts, overflow, pv = sort_sharded(
+        jnp.asarray(keys), mesh, values=jnp.asarray(vals), local_engine="merge"
+    )
+    assert not np.any(np.asarray(overflow))
+    got_k, got_v = gather_sorted(pk, counts, pv)
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(got_k, keys[perm])
+    np.testing.assert_array_equal(got_v, vals[perm])
+
+
+def test_sort_sharded_local_engine_merge_u64_overlapped(rng):
+    """Merge-backed local phases with 64-bit keys (two compare planes) under
+    the software-pipelined K=2 body."""
+    n = 8 * 1024
+    keys = make_keys(rng, n, np.uint64, "uniform")
+    mesh = _mesh()
+    pk, counts, overflow = sort_sharded(
+        jnp.asarray(keys), mesh, local_engine="merge", overlap_chunks=2
+    )
+    assert not np.any(np.asarray(overflow))
+    got = gather_sorted(pk, counts)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_sharded_local_engine_merge_envelope_error():
+    mesh = _mesh()
+    k = jnp.zeros((8 * 16,), jnp.uint32)
+    v = jnp.zeros((8 * 16,), jnp.float64)
+    if not jax.config.jax_enable_x64:
+        v = jnp.zeros((8 * 16,), jnp.int32).astype(jnp.float32)
+        pytest.skip("needs x64 for an 8-byte payload plane")
+    with pytest.raises(ValueError, match="local_engine='merge'"):
+        sort_sharded(k, mesh, values=v, local_engine="merge")

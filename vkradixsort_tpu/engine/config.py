@@ -96,11 +96,18 @@ ROUTE_TABLE: dict = {
     "keys": [(float("inf"), "tiled")],
     "kv": [(float("inf"), "tiled")],
     "argsort": [(float("inf"), "tiled")],
+    # Local phases of the distributed sort (parallel/distributed.py): "xla"
+    # is the composite (key, position) lax.sort; "merge" runs the same total
+    # order through ops/merge. n here is the PER-SHARD chunk size. Rows flip
+    # to "merge" wherever the real-chip sweep shows the same-total-order
+    # local sort winning (its regime is exactly the kv crossover).
+    "dist_local": [(float("inf"), "xla")],
 }
 
 
 def route_for(op: str, n: int) -> str:
-    """Default engine for ``op`` ("keys" | "kv" | "argsort") at size ``n``."""
+    """Default engine for ``op`` ("keys" | "kv" | "argsort" | "dist_local")
+    at size ``n``."""
     for max_n, eng in ROUTE_TABLE.get(op, []):
         if n <= max_n:
             return eng

@@ -32,9 +32,12 @@ emits the output tile in the direction its own run needs (a comparator
 flip) and the output block index is mirrored within descending runs via the
 scalar-prefetch metadata; the last level's single run 0 is even = ascending.
 
-Measured on v5e at 1e8 (see BENCHMARKS.md): one full 18-stage streamed merge
-pass costs 4.8 ms/plane and compiles in ~3 s — vs 179 ms for XLA's whole
-flat sort, which is why ~10 such run-doubling levels beat it outright.
+Measured COMPONENT cost on v5e at 1e8 (BENCHMARKS.md): one full 18-stage
+streamed merge pass is 4.8 ms/plane, ~3 s compile. Whether the end-to-end
+ladder (tilesort chunks + ~10 run-doubling levels + the double-window DMA's
+>= (T+C)/T read amplification) beats XLA's 179 ms flat sort is decided by
+the committed end-to-end sweeps in benchmarks/results/ and the routing rows
+in engine/config.ROUTE_TABLE — not by this extrapolation.
 
 Stage implementation notes (all stages are statically unrolled — measured
 both compile-fast AND runtime-fast; dynamic-distance fori variants compile

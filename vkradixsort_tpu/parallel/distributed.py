@@ -31,6 +31,7 @@ check it (it is a traced value) and retry with a larger ``slack`` /
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -121,6 +122,7 @@ def _partition_fn(
     oversample: int,
     chunks: int = 1,
     gdt=jnp.int32,
+    local_sort=None,
 ):
     """The per-shard shard_map body. Operates on encoded uint32/64 keys.
 
@@ -140,6 +142,8 @@ def _partition_fn(
     are clipped out of the send stage — callers owe no P^2 or chunk
     divisibility (round-1 VERDICT missing #4).
     """
+
+    lsort = local_sort if local_sort is not None else _idx_sort
 
     def fn(enc, *values):
         n = enc.shape[0]
@@ -197,7 +201,7 @@ def _partition_fn(
             # gidx-max makes padding sort strictly AFTER every real pair
             # inside a sentinel-key run, so such pairs keep their payloads.
             # n_real = valid prefix length (alignment pads sort to the tail).
-            kc, gc, vc = _idx_sort(
+            kc, gc, vc = lsort(
                 chunk(enc, c), chunk(gidx, c), [chunk(v, c) for v in values]
             )
             n_real = (n_chunk - jnp.sum(gc == gmax)).astype(jnp.int32)
@@ -266,11 +270,77 @@ def _partition_fn(
             jnp.concatenate([rv[1 + i].reshape(-1) for rv in recv_vss])
             for i in range(len(values))
         ]
-        out_k, out_gidx, out_vs = _idx_sort(all_k, all_g, all_vs)
+        out_k, out_gidx, out_vs = lsort(all_k, all_g, all_vs)
         count = jnp.sum(a2a(lens_total))
         return (out_k, count.reshape(1), overflow.reshape(1)) + tuple(out_vs)
 
     return fn
+
+
+def _idx_sort_merge(enc, gidx, values: Sequence[jnp.ndarray], interpret):
+    """The same (key, original-position) total order as :func:`_idx_sort`,
+    run on the merge engine (ops/merge): in-VMEM tile sorts + the
+    run-doubling merge ladder, with the position carry as the tiebreak
+    compare plane and payloads as carry planes. Selected for the local
+    phases when their per-shard sizes sit in the engine's measured winning
+    envelope (engine/config.ROUTE_TABLE["dist_local"])."""
+    from vkradixsort_tpu.ops import merge
+
+    if enc.dtype == jnp.uint32:
+        kp = [merge._u32_signed(enc)]
+    else:
+        kp = [
+            merge._u32_signed((enc >> np.uint64(32)).astype(jnp.uint32)),
+            merge._u32_signed((enc & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)),
+        ]
+    planes = kp + [gidx] + [v.view(jnp.int32) for v in values]
+    out = merge.sort_merge_planes(planes, len(kp) + 1, interpret=interpret)
+    if enc.dtype == jnp.uint32:
+        out_k = out[0].view(jnp.uint32) ^ np.uint32(0x80000000)
+    else:
+        hi = (out[0].view(jnp.uint32) ^ np.uint32(0x80000000)).astype(jnp.uint64)
+        lo = (out[1].view(jnp.uint32) ^ np.uint32(0x80000000)).astype(jnp.uint64)
+        out_k = (hi << np.uint64(32)) | lo
+    nk = len(kp)
+    return (
+        out_k,
+        out[nk],
+        [o.view(v.dtype) for o, v in zip(out[nk + 1 :], values)],
+    )
+
+
+def _pick_local_engine(local_engine, gdt, vals, n_chunk):
+    """Static (trace-time) engine choice for the shard-local sort phases.
+
+    ``None`` consults ROUTE_TABLE["dist_local"] at the per-shard chunk size
+    — but only on TPU and inside the merge engine's envelope (int32
+    position carries, 4-byte payload planes); everything else runs the
+    always-valid XLA composite sort. Explicit "merge" is honored on any
+    backend (Pallas interpret mode off-TPU — the CPU-mesh test path)."""
+    outside = gdt != jnp.dtype(jnp.int32) or any(
+        np.dtype(v.dtype).itemsize != 4 for v in vals
+    )
+    if local_engine is not None:
+        if local_engine not in ("xla", "merge"):
+            raise ValueError(
+                f"local_engine must be 'xla' or 'merge', got {local_engine!r}"
+            )
+        if local_engine == "merge" and outside:
+            raise ValueError(
+                "local_engine='merge' needs int32 position carries "
+                "(N < 2^31) and 4-byte payload planes; use 'xla' here"
+            )
+        return local_engine
+    if outside:
+        return "xla"
+    try:
+        if jax.default_backend() != "tpu":
+            return "xla"
+    except Exception:
+        return "xla"
+    from vkradixsort_tpu.engine.config import route_for
+
+    return "merge" if route_for("dist_local", n_chunk) == "merge" else "xla"
 
 
 def _idx_sort(enc, gidx, values: Sequence[jnp.ndarray]):
@@ -305,6 +375,7 @@ def sort_sharded(
     descending: bool = False,
     overlap_chunks: int = 1,
     gidx_dtype=None,
+    local_engine: str | None = None,
 ):
     """Distributed stable sort of a 1-D array sharded over ``axis_name``.
 
@@ -334,6 +405,11 @@ def sort_sharded(
     other grain (interleave blocks, chunk splits) is padded internally.
     Global positions carry as int32 below N = 2^31 and as int64 beyond
     (requires x64); ``gidx_dtype=jnp.int64`` opts in explicitly.
+
+    ``local_engine`` selects the shard-local sort phases: "xla" (composite
+    lax.sort), "merge" (the ops/merge ladder — Pallas interpret mode off
+    TPU), or None to consult the measured routing table
+    (engine/config.ROUTE_TABLE["dist_local"]) at the per-shard chunk size.
     """
     multi = isinstance(values, (tuple, list))
     vals = () if values is None else (tuple(values) if multi else (values,))
@@ -386,8 +462,20 @@ def sort_sharded(
     grain = num_shards * overlap_chunks
     n_local_padded = ((n // num_shards + grain - 1) // grain) * grain
     cap = int(slack * n_local_padded / (overlap_chunks * num_shards)) + 64
+    eng = _pick_local_engine(
+        local_engine, gdt, vals, n_local_padded // overlap_chunks
+    )
+    if eng == "merge":
+        try:
+            interp = jax.default_backend() != "tpu"
+        except Exception:
+            interp = True
+        lsort = functools.partial(_idx_sort_merge, interpret=interp)
+    else:
+        lsort = _idx_sort
     fn = _partition_fn(
-        axis_name, num_shards, cap, oversample, overlap_chunks, gdt
+        axis_name, num_shards, cap, oversample, overlap_chunks, gdt,
+        local_sort=lsort,
     )
     spec = P(axis_name)
     out_specs = (spec, spec, spec) + tuple(spec for _ in vals)
@@ -445,6 +533,7 @@ def sort_distributed(
     descending: bool = False,
     overlap_chunks: int = 1,
     gidx_dtype=None,
+    local_engine: str | None = None,
 ):
     """Host-driving convenience around :func:`sort_sharded`: runs the
     distributed sort, checks the overflow flag, and retries with doubled
@@ -467,6 +556,7 @@ def sort_distributed(
             descending=descending,
             overlap_chunks=overlap_chunks,
             gidx_dtype=gidx_dtype,
+            local_engine=local_engine,
         )
         # jnp.any reduces to a replicated scalar, fetchable on every host
         if not bool(jnp.any(res[2])):
