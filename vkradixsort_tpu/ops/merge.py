@@ -349,38 +349,63 @@ def _align_window(w2d, s, G):
     return jnp.where(lane < C - s, r1, down)[:G]
 
 
-def _mergepath_kernel(nplanes, nck, G, meta_ref, *refs):
+def _mergepath_kernel(nplanes, nck, G, ntiles, meta_ref, *refs):
+    """One output tile per grid step, with cross-step DMA lookahead: while
+    step t's 18-stage in-VMEM merge runs, step t+1's two windows are already
+    streaming into the other scratch slot (scratch persists across the
+    sequential TPU grid), so the window fetch costs wall-clock only on the
+    first tile. The analog in the reference is descriptor-set ping-pong
+    across iterations (reference MultiRadixSort.cpp:34-46) — here the
+    ping-pong is between VMEM scratch slots inside one kernel."""
     T = G * C
+
     ins = refs[:nplanes]
     outs = refs[nplanes : 2 * nplanes]
-    scr_a = refs[2 * nplanes : 3 * nplanes]
+    scr_a = refs[2 * nplanes : 3 * nplanes]  # each (2, T+C): slot-parity
     scr_b = refs[3 * nplanes : 4 * nplanes]
-    sem = refs[4 * nplanes]
+    sem = refs[4 * nplanes]  # (2, 2*nplanes)
     t = pl.program_id(0)
-    a_woff = meta_ref[t, 0]
+
+    def window_copies(slot, tt):
+        """The 2*nplanes window DMAs for tile ``tt`` into scratch ``slot``
+        (same descriptors reconstruct for start and wait)."""
+        cps = []
+        for i in range(nplanes):
+            cps.append(
+                pltpu.make_async_copy(
+                    ins[i].at[pl.ds(pl.multiple_of(meta_ref[tt, 0], 1024), T + C)],
+                    scr_a[i].at[slot],
+                    sem.at[slot, np.int32(2 * i)],
+                )
+            )
+            cps.append(
+                pltpu.make_async_copy(
+                    ins[i].at[pl.ds(pl.multiple_of(meta_ref[tt, 3], 1024), T + C)],
+                    scr_b[i].at[slot],
+                    sem.at[slot, np.int32(2 * i + 1)],
+                )
+            )
+        return cps
+
+    slot = jax.lax.rem(t, np.int32(2))
+
+    @pl.when(t == 0)
+    def _first():
+        for cp in window_copies(np.int32(0), t):
+            cp.start()
+
+    @pl.when(t + 1 < ntiles)
+    def _lookahead():
+        for cp in window_copies(np.int32(1) - slot, t + 1):
+            cp.start()
+
+    for cp in window_copies(slot, t):
+        cp.wait()
+
     s_a = meta_ref[t, 1]
     a_rem = meta_ref[t, 2]
-    b_woff = meta_ref[t, 3]
     s_b = meta_ref[t, 4]
     b_rem = meta_ref[t, 5]
-    dmas = []
-    for i in range(nplanes):
-        cp = pltpu.make_async_copy(
-            ins[i].at[pl.ds(pl.multiple_of(a_woff, 1024), T + C)],
-            scr_a[i],
-            sem.at[np.int32(2 * i)],
-        )
-        cp.start()
-        dmas.append(cp)
-        cp = pltpu.make_async_copy(
-            ins[i].at[pl.ds(pl.multiple_of(b_woff, 1024), T + C)],
-            scr_b[i],
-            sem.at[np.int32(2 * i + 1)],
-        )
-        cp.start()
-        dmas.append(cp)
-    for cp in dmas:
-        cp.wait()
     out_dir = meta_ref[t, 7]
     flat = (
         jax.lax.broadcasted_iota(jnp.int32, (G, C), 0) * C
@@ -390,13 +415,13 @@ def _mergepath_kernel(nplanes, nck, G, meta_ref, *refs):
     b_planes = []
     for i in range(nplanes):
         sent = _SENT if i < nck else np.int32(0)
-        wa = _align_window(scr_a[i][:].reshape(G + 1, C), s_a, G)
+        wa = _align_window(scr_a[i].at[slot][:].reshape(G + 1, C), s_a, G)
         a_planes.append(jnp.where(flat < a_rem, wa, sent).reshape(T))
         # the B window is rev(B') already (descending storage read forward);
         # its valid elements sit at the END, so the sentinel mask is a HEAD
         # mask — sentinels-then-descending keeps the half descending, so
         # A' ++ B-window stays bitonic with zero reversal stages.
-        wb = _align_window(scr_b[i][:].reshape(G + 1, C), s_b, G)
+        wb = _align_window(scr_b[i].at[slot][:].reshape(G + 1, C), s_b, G)
         b_planes.append(jnp.where(flat >= T - b_rem, wb, sent).reshape(T))
     # bitonic lowest-half: lo = min(A', rev(B')) is the output tile's multiset
     le = _lex_le_i(a_planes, b_planes, nck) == 1
@@ -417,11 +442,12 @@ def _mergepath_call(planes, meta, nplanes, nck, G, interpret):
         # written mirrored (meta col 6), so placement follows the run's
         # storage direction with no extra pass
         out_specs=[pl.BlockSpec((T,), lambda t, meta: (meta[t, 6],))] * nplanes,
-        scratch_shapes=[pltpu.VMEM((T + C,), jnp.int32)] * (2 * nplanes)
-        + [pltpu.SemaphoreType.DMA((2 * nplanes,))],
+        # leading dim 2 = the lookahead slot parity (kernel docstring)
+        scratch_shapes=[pltpu.VMEM((2, T + C), jnp.int32)] * (2 * nplanes)
+        + [pltpu.SemaphoreType.DMA((2, 2 * nplanes))],
     )
     call = pl.pallas_call(
-        functools.partial(_mergepath_kernel, nplanes, nck, G),
+        functools.partial(_mergepath_kernel, nplanes, nck, G, ntiles),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(planes[0].shape, jnp.int32) for _ in range(nplanes)
