@@ -349,14 +349,19 @@ def _align_window(w2d, s, G):
     return jnp.where(lane < C - s, r1, down)[:G]
 
 
-def _mergepath_kernel(nplanes, nck, G, ntiles, meta_ref, *refs):
+def _mergepath_kernel(nplanes, nck, G, ntiles, lookahead, meta_ref, *refs):
     """One output tile per grid step, with cross-step DMA lookahead: while
     step t's 18-stage in-VMEM merge runs, step t+1's two windows are already
     streaming into the other scratch slot (scratch persists across the
     sequential TPU grid), so the window fetch costs wall-clock only on the
     first tile. The analog in the reference is descriptor-set ping-pong
     across iterations (reference MultiRadixSort.cpp:34-46) — here the
-    ping-pong is between VMEM scratch slots inside one kernel."""
+    ping-pong is between VMEM scratch slots inside one kernel.
+
+    ``lookahead=False`` (env VKRS_MERGE_LOOKAHEAD=0) restores the serial
+    fetch-wait-compute schedule in slot 0 — the A/B baseline for measuring
+    the overlap, and the fallback if the dynamic-slot DMA pattern ever
+    regresses in Mosaic."""
     T = G * C
 
     ins = refs[:nplanes]
@@ -387,16 +392,21 @@ def _mergepath_kernel(nplanes, nck, G, ntiles, meta_ref, *refs):
             )
         return cps
 
-    slot = jax.lax.rem(t, np.int32(2))
+    if lookahead:
+        slot = jax.lax.rem(t, np.int32(2))
 
-    @pl.when(t == 0)
-    def _first():
-        for cp in window_copies(np.int32(0), t):
-            cp.start()
+        @pl.when(t == 0)
+        def _first():
+            for cp in window_copies(np.int32(0), t):
+                cp.start()
 
-    @pl.when(t + 1 < ntiles)
-    def _lookahead():
-        for cp in window_copies(np.int32(1) - slot, t + 1):
+        @pl.when(t + 1 < ntiles)
+        def _lookahead():
+            for cp in window_copies(np.int32(1) - slot, t + 1):
+                cp.start()
+    else:
+        slot = np.int32(0)
+        for cp in window_copies(slot, t):
             cp.start()
 
     for cp in window_copies(slot, t):
@@ -432,8 +442,11 @@ def _mergepath_kernel(nplanes, nck, G, ntiles, meta_ref, *refs):
 
 
 def _mergepath_call(planes, meta, nplanes, nck, G, interpret):
+    import os
+
     T = G * C
     ntiles = planes[0].shape[0] // T
+    lookahead = os.environ.get("VKRS_MERGE_LOOKAHEAD", "1") != "0"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
@@ -447,7 +460,7 @@ def _mergepath_call(planes, meta, nplanes, nck, G, interpret):
         + [pltpu.SemaphoreType.DMA((2, 2 * nplanes))],
     )
     call = pl.pallas_call(
-        functools.partial(_mergepath_kernel, nplanes, nck, G, ntiles),
+        functools.partial(_mergepath_kernel, nplanes, nck, G, ntiles, lookahead),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(planes[0].shape, jnp.int32) for _ in range(nplanes)
