@@ -57,6 +57,11 @@ ENGINES = (
     "reference",
 )
 
+# Largest n implicit routing may send to the merge engine: its int32 split
+# arithmetic is bound to 3*npad < 2^31 (ops/merge.sort_merge_planes), and
+# npad rounds n up by at most one max-size tile (2^21) plus the 2-tile slack.
+MERGE_MAX_N = ((1 << 31) // 3) - (3 << 21)
+
 
 def _on_tpu() -> bool:
     try:
@@ -80,7 +85,7 @@ def _route(
         return "reference"
     path = route_for(op, n)
     if path == "merge" and (
-        n >= (1 << 31)  # int32 plane positions/splits
+        n > MERGE_MAX_N  # int32 plane positions + 3*npad split arithmetic
         or any(v.dtype.itemsize not in (4, 8) for v in vals)
     ):
         # outside the merge engine's envelope -> the always-valid XLA path
@@ -384,7 +389,7 @@ def argsort(
         packed = (enc.astype(jnp.uint64) << np.uint64(32)) | idx
         sp = segsort.sort_flat(packed, stable=False)
         return (sp & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    if path == "merge" and n < (1 << 31):
+    if path == "merge" and n <= MERGE_MAX_N:
         # 2-plane fast path: the position plane is both the stability carry
         # AND the answer, so argsort costs one plane less than kv
         from vkradixsort_tpu.ops import merge

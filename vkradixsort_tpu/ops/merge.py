@@ -499,8 +499,14 @@ def sort_merge_planes(
     n = planes[0].shape[0]
     npad = round_up(max(n, T), T)
     buflen = npad + 2 * T
-    if buflen >= (1 << 31):
-        raise NotImplementedError("merge engine needs padded size < 2^31")
+    # int32 split arithmetic: _level_splits intermediates reach
+    # run_a + L + lb < 3*npad (run_a <= npad, L < npad at the last level),
+    # so the real envelope is 3*npad < 2^31, not merely buflen < 2^31
+    if buflen >= (1 << 31) or 3 * npad >= (1 << 31):
+        raise NotImplementedError(
+            "merge engine's int32 split arithmetic is bound to padded "
+            f"size < 2^31/3 (~715M elements); got {npad}"
+        )
 
     work = []
     for i, p in enumerate(planes):
