@@ -160,6 +160,12 @@ def test_route_merge_envelope_fallback(monkeypatch):
     v4 = types.SimpleNamespace(dtype=np.dtype(np.uint32))
     assert dispatch._route(1000, CFG, None, op="kv", vals=(v4, v8)) == "tiled"
     assert dispatch._route(1000, CFG, None, op="kv", vals=(v4,)) == "merge"
+    # size envelope: int32 split arithmetic bounds implicit merge routing
+    assert dispatch._route(dispatch.MERGE_MAX_N, CFG, None, op="kv", vals=(v4,)) == "merge"
+    assert (
+        dispatch._route(dispatch.MERGE_MAX_N + 1, CFG, None, op="kv", vals=(v4,))
+        == "tiled"
+    )
     # explicit backend always wins over the table
     assert dispatch._route(1000, CFG, "bitonic", op="kv", vals=(v8,)) == "bitonic"
 
