@@ -57,10 +57,17 @@ def main() -> None:
     ap.add_argument("--csv", default="grain_sweep.csv")
     ap.add_argument("--seed", type=int, default=0xBE7C)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (dry runs; avoids probing a "
+                         "possibly-down TPU tunnel)")
     args = ap.parse_args()
 
     import numpy as np
     import jax
+
+    if args.cpu:
+        # after `import jax`: the axon sitecustomize overrides JAX_PLATFORMS
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from vkradixsort_tpu.utils.timing import (

@@ -60,6 +60,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0xBE7C)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs off-TPU)")
+    ap.add_argument("--interpret", action="store_true",
+                    help="run Pallas engines in interpreter mode (with --cpu: "
+                         "dry-run the whole matrix off-TPU before a chip session)")
     args = ap.parse_args()
 
     import numpy as np
@@ -79,6 +82,11 @@ def main() -> None:
         jax.config.update("jax_enable_x64", True)
 
     import vkradixsort_tpu as vk
+
+    from vkradixsort_tpu.engine.config import DEFAULT_CONFIG
+
+    config = DEFAULT_CONFIG.replace(interpret=True) if args.interpret \
+        else DEFAULT_CONFIG
     from vkradixsort_tpu.utils.timing import (
         measure_pairs_seconds_per_call,
         measure_seconds_per_call,
@@ -113,20 +121,21 @@ def main() -> None:
                     values = jnp.arange(n, dtype=jnp.uint32)
 
                     def f(kk, vv, _e=engine, _s=(op == "kv")):
-                        return vk.sort_pairs(kk, vv, backend=_e, stable=_s)
+                        return vk.sort_pairs(kk, vv, backend=_e, stable=_s,
+                                             config=config)
 
                     out_k, out_v = jax.jit(f)(keys, values)
                     dt = measure_pairs_seconds_per_call(f, keys, values, reps=4)
                 elif op == "argsort":
                     def f(kk, _e=engine):
-                        return vk.argsort(kk, backend=_e)
+                        return vk.argsort(kk, backend=_e, config=config)
 
                     out_v = jax.jit(f)(keys)
                     out_k = None
                     dt = measure_seconds_per_call(jax.jit(f), keys, reps=4)
                 else:
                     def f(kk, _e=engine):
-                        return vk.sort(kk, backend=_e)
+                        return vk.sort(kk, backend=_e, config=config)
 
                     out_k = jax.jit(f)(keys)
                     if dtype.kind in "fi":
@@ -137,7 +146,8 @@ def main() -> None:
                         jdt = jnp.dtype(dtype)
 
                         def f_bits(kb, _e=engine, _c=cdt, _j=jdt):
-                            return vk.sort(kb.view(_j), backend=_e).view(_c)
+                            return vk.sort(kb.view(_j), backend=_e,
+                                           config=config).view(_c)
 
                         dt = measure_seconds_per_call(
                             jax.jit(f_bits), keys.view(cdt), reps=4

@@ -71,7 +71,10 @@ def measure_seconds_per_call(
     t_base = _time_once(_chain(lambda y: y, reps), x)
     while True:
         t_full = _time_once(_chain(f, reps), x)
-        if t_full - t_base > min_window or reps >= 4096:
+        # min_window <= 0 disables adaptive growth (CPU-interpret dry runs:
+        # each growth step would recompile a longer chain, and a ~0 or
+        # negative diff would otherwise grow forever)
+        if t_full - t_base > min_window or reps >= 4096 or min_window <= 0:
             return max((t_full - t_base) / reps, 1e-9)
         scale = max(2, int(min_window / max(t_full - t_base, 1e-3)))
         reps = min(reps * scale, 4096)
@@ -122,7 +125,7 @@ def measure_pairs_seconds_per_call(
     while True:
         t_full = run(make(full_body, reps))
         t_base = run(make(base_body, reps))
-        if t_full - t_base > min_window or reps >= 4096:
+        if t_full - t_base > min_window or reps >= 4096 or min_window <= 0:
             return max((t_full - t_base) / reps, 1e-9)
         scale = max(2, int(min_window / max(t_full - t_base, 1e-3)))
         reps = min(reps * scale, 4096)
