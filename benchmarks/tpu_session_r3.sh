@@ -53,7 +53,7 @@ step 4_argsort 5400 python benchmarks/sweep.py --engines merge,tiled \
 
 # 5-6: merge grain sweeps per N (VERDICT task 3 — the NBPW-study analog)
 step 5_grain 7200 python benchmarks/grain_sweep.py --engine merge \
-  --sizes 1e6,1e7,1e8 --tiles 16,17,18,19,20 --csv $R/v5e_merge_grain.csv
+  --sizes 1e6,1e7,1e8 --tiles 14,15,16,17,18,19,20 --csv $R/v5e_merge_grain.csv
 step 6_grain_kv 5400 python benchmarks/grain_sweep.py --engine merge --kv \
   --sizes 1e7,1e8 --tiles 15,16,17,18 --csv $R/v5e_merge_grain_kv.csv
 
