@@ -1,6 +1,7 @@
 #!/bin/bash
 # Probe the axon TPU backend until it responds; log each attempt.
 LOG=/tmp/tpu_logs/probe.log
+mkdir -p /tmp/tpu_logs
 for i in $(seq 1 200); do
   echo "=== attempt $i $(date -u +%H:%M:%S) ===" >> "$LOG"
   timeout 180 python -c "

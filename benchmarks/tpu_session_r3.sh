@@ -39,15 +39,13 @@ step 0_sanity 2400 python -u benchmarks/sanity_merge.py || {
   exit 1
 }
 
-# 1: real-TPU test suites for the engines being measured (VERDICT task 5)
-step 1_tpu_tests 5400 env VKRS_TEST_TPU=1 \
-  python -m pytest tests/test_merge.py tests/test_bitonic.py -q
-
-# 2-4: merge vs tiled end-to-end, keys / stable-kv / argsort (VERDICT task 1)
-step 2_keys 5400 python benchmarks/sweep.py --engines merge,tiled \
-  --sizes 1e6,4e6,1.6e7,1e8 --csv $R/v5e_merge_vs_tiled_keys.csv
+# 2-4: merge vs tiled end-to-end, stable-kv (the headline metric) FIRST,
+# then keys and argsort (VERDICT task 1). Ordered so a short tunnel window
+# still lands the round's primary numbers; the test suites run later.
 step 3_kv 5400 python benchmarks/sweep.py --engines merge,tiled \
   --sizes 1e6,1e7,1e8 --op kv --csv $R/v5e_merge_vs_tiled_kv.csv
+step 2_keys 5400 python benchmarks/sweep.py --engines merge,tiled \
+  --sizes 1e6,4e6,1.6e7,1e8 --csv $R/v5e_merge_vs_tiled_keys.csv
 step 4_argsort 5400 python benchmarks/sweep.py --engines merge,tiled \
   --sizes 1e6,1e7,1e8 --op argsort --csv $R/v5e_merge_vs_tiled_argsort.csv
 
@@ -72,4 +70,26 @@ step 8b_ab_serial_kv 3600 env VKRS_MERGE_LOOKAHEAD=0 \
 # 9: component cost attribution (tilesort / split / level / e2e)
 step 9_profile 5400 python -u benchmarks/profile_merge.py --n 1e8 --planes 1,2,3
 
+# 1 (runs LAST despite the number): real-TPU test suites for the engines
+# being measured (VERDICT task 5) — correctness at scale is already gated
+# by step 0 + each sweep's exactness column, so the full suites yield the
+# least marginal evidence per minute and must not burn a short tunnel
+# window before the sweeps do.
+step 1_tpu_tests 5400 env VKRS_TEST_TPU=1 \
+  python -m pytest tests/test_merge.py tests/test_bitonic.py -q
+
 echo "ALL DONE (markers in $M)"
+
+# After the session (manual, in order):
+#   1. python benchmarks/tables_from_csv.py benchmarks/results/v5e_merge_vs_tiled_*.csv \
+#        --grain benchmarks/results/v5e_merge_grain*.csv
+#      -> paste the printed rows into engine/config.py ROUTE_TABLE/GRAIN_TABLE
+#         (incl. a dist_local row at the kv crossover), delete placeholders.
+#   2. python benchmarks/plot.py benchmarks/results/v5e_merge*.csv --out timings
+#   3. Update BENCHMARKS.md (merge column in the engine table, headline if it
+#      moved, lookahead A/B, profile attribution), README headline,
+#      PARITY.md row 3, ops/dispatch.py + ops/merge.py docstrings.
+#   4. python bench.py  -> headline JSON (expect > 211 M pairs/s if the
+#      merge kv rows won routing; else the measured negative result stands).
+#   5. Commit CSVs + tables + docs together; rerun
+#      tests/test_config.py (routing rows changed).

@@ -160,10 +160,27 @@ def test_route_merge_envelope_fallback(monkeypatch):
     v4 = types.SimpleNamespace(dtype=np.dtype(np.uint32))
     assert dispatch._route(1000, CFG, None, op="kv", vals=(v4, v8)) == "tiled"
     assert dispatch._route(1000, CFG, None, op="kv", vals=(v4,)) == "merge"
-    # size envelope: int32 split arithmetic bounds implicit merge routing
+    # size envelope: int32 split arithmetic (3 * npad < 2^31) bounds
+    # implicit merge routing AT THE ACTUAL GRAIN. The coarse documented
+    # bound (MERGE_MAX_N, worst-case 2^21 tiles) must route merge; the
+    # exact per-grain boundary sits at the last tile multiple under
+    # 2^31/3 for the default kv grain, and one element past it flips.
     assert dispatch._route(dispatch.MERGE_MAX_N, CFG, None, op="kv", vals=(v4,)) == "merge"
+    from vkradixsort_tpu.ops import merge as merge_mod
+
+    T = merge_mod._default_tile_rows(3) * merge_mod.C
+    exact_max = ((1 << 31) // 3) // T * T
+    while 3 * (exact_max + T) < (1 << 31):  # robust to bound tweaks
+        exact_max += T
+    assert dispatch._route(exact_max, CFG, None, op="kv", vals=(v4,)) == "merge"
     assert (
-        dispatch._route(dispatch.MERGE_MAX_N + 1, CFG, None, op="kv", vals=(v4,))
+        dispatch._route(exact_max + 1, CFG, None, op="kv", vals=(v4,))
+        == "tiled"
+    )
+    # an oversized explicit tile shrinks the envelope -> fallback to tiled
+    big_tile = CFG.replace(tile=1 << 24)
+    assert (
+        dispatch._route(dispatch.MERGE_MAX_N, big_tile, None, op="kv", vals=(v4,))
         == "tiled"
     )
     # explicit backend always wins over the table

@@ -339,3 +339,20 @@ def test_sort_sharded_local_engine_merge_envelope_error():
         pytest.skip("needs x64 for an 8-byte payload plane")
     with pytest.raises(ValueError, match="local_engine='merge'"):
         sort_sharded(k, mesh, values=v, local_engine="merge")
+
+
+def test_pick_local_engine_receive_buffer_envelope():
+    """The merge envelope must be checked where it binds: the final
+    received-buffer sort (~slack * n_local), not the per-chunk size. An
+    n_sort_max beyond the int32 split bound must refuse explicit 'merge'
+    (clear ValueError, not a crash deep in the trace) and implicitly route
+    to 'xla'."""
+    from vkradixsort_tpu.parallel.distributed import _pick_local_engine
+
+    gdt = jnp.dtype(jnp.int32)
+    ok_small = _pick_local_engine("merge", gdt, (), 1 << 20, 1 << 21, 1)
+    assert ok_small == "merge"
+    too_big = (1 << 31) // 3 + (1 << 22)  # beyond 3*npad < 2^31 at any grain
+    with pytest.raises(ValueError, match="split envelope"):
+        _pick_local_engine("merge", gdt, (), too_big // 8, too_big, 1)
+    assert _pick_local_engine(None, gdt, (), too_big // 8, too_big, 1) == "xla"

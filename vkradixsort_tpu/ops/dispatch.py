@@ -57,9 +57,12 @@ ENGINES = (
     "reference",
 )
 
-# Largest n implicit routing may send to the merge engine: its int32 split
-# arithmetic is bound to 3*npad < 2^31 (ops/merge.sort_merge_planes), and
-# npad rounds n up by at most one max-size tile (2^21) plus the 2-tile slack.
+# Largest n implicit routing may send to the merge engine AT ITS DEFAULT
+# GRAIN: the int32 split arithmetic is bound to 3*npad < 2^31
+# (ops/merge.sort_merge_planes), and npad rounds n up by at most one
+# default-max tile (2^21) plus the 2-tile slack. A coarse documented bound;
+# the router itself checks merge.fits_envelope at the ACTUAL grain, which
+# may be larger when config.tile / GRAIN_TABLE request oversized tiles.
 MERGE_MAX_N = ((1 << 31) // 3) - (3 << 21)
 
 
@@ -84,12 +87,23 @@ def _route(
     if not _on_tpu():
         return "reference"
     path = route_for(op, n)
-    if path == "merge" and (
-        n > MERGE_MAX_N  # int32 plane positions + 3*npad split arithmetic
-        or any(v.dtype.itemsize not in (4, 8) for v in vals)
-    ):
-        # outside the merge engine's envelope -> the always-valid XLA path
-        return "tiled"
+    if path == "merge":
+        from vkradixsort_tpu.ops import merge
+
+        # payload planes: key + position carry + one plane per 4 payload
+        # bytes (8-byte payloads split into two planes)
+        nplanes = {"keys": 1, "argsort": 2}.get(
+            op, 2 + sum(v.dtype.itemsize // 4 for v in vals)
+        )
+        tr = _merge_tile_rows(config, op, n)
+        if any(v.dtype.itemsize not in (4, 8) for v in vals) or not (
+            # int32 plane positions + 3*npad split arithmetic, at the
+            # grain the engine would actually run (config.tile /
+            # GRAIN_TABLE may request tiles beyond the 2^21 default cap)
+            merge.fits_envelope(n, tr, nplanes)
+        ):
+            # outside the merge engine's envelope -> the always-valid XLA path
+            return "tiled"
     return path
 
 
@@ -389,19 +403,23 @@ def argsort(
         packed = (enc.astype(jnp.uint64) << np.uint64(32)) | idx
         sp = segsort.sort_flat(packed, stable=False)
         return (sp & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    if path == "merge" and n <= MERGE_MAX_N:
-        # 2-plane fast path: the position plane is both the stability carry
-        # AND the answer, so argsort costs one plane less than kv
+    if path == "merge":
         from vkradixsort_tpu.ops import merge
 
-        enc = encode_keys(keys)
-        if descending:
-            enc = ~enc
-        return merge.argsort_merge(
-            enc,
-            tile_rows=_merge_tile_rows(config, "argsort", n),
-            interpret=config.interpret,
-        )
+        tr = _merge_tile_rows(config, "argsort", n)
+        # envelope check at the actual grain (explicit backend="merge"
+        # outside it falls through to sort_pairs, where the engine raises
+        # its documented refusal; implicit routing never reaches here
+        # outside the envelope — _route already falls back to tiled)
+        if merge.fits_envelope(n, tr, 2):
+            # 2-plane fast path: the position plane is both the stability
+            # carry AND the answer, so argsort costs one plane less than kv
+            enc = encode_keys(keys)
+            if descending:
+                enc = ~enc
+            return merge.argsort_merge(
+                enc, tile_rows=tr, interpret=config.interpret
+            )
     idx_dtype = jnp.uint32 if n < (1 << 32) else jnp.uint64
     idx = jnp.arange(n, dtype=idx_dtype)
     _, perm = sort_pairs(keys, idx, config=config, backend=backend, descending=descending)

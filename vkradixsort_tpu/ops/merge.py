@@ -446,6 +446,9 @@ def _mergepath_call(planes, meta, nplanes, nck, G, interpret):
 
     T = G * C
     ntiles = planes[0].shape[0] // T
+    # Read at TRACE time: flipping the env var after a jit cache entry
+    # exists is silently ignored — A/B the two schedules from separate
+    # processes (benchmarks/tpu_session_r3.sh step 8 does exactly that).
     lookahead = os.environ.get("VKRS_MERGE_LOOKAHEAD", "1") != "0"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -473,6 +476,17 @@ def _mergepath_call(planes, meta, nplanes, nck, G, interpret):
 
 # ---------------------------------------------------------------------------
 # driver
+
+
+def fits_envelope(n: int, tile_rows: int | None = None, nplanes: int = 1) -> bool:
+    """True when ``sort_merge_planes``' int32 split arithmetic can host
+    ``n`` elements at this grain (static, trace-time check — the routing
+    layer consults it so implicit dispatch never selects a (n, tile)
+    combination the engine would refuse)."""
+    G = int(tile_rows) if tile_rows else _default_tile_rows(nplanes)
+    T = G * C
+    npad = round_up(max(n, T), T)
+    return npad + 2 * T < (1 << 31) and 3 * npad < (1 << 31)
 
 
 def sort_merge_planes(
@@ -564,12 +578,14 @@ def _u32_signed(x32):
 
 
 def _default_tile_rows(nplanes: int) -> int:
-    # VMEM budget: the mergepath kernel holds 2*nplanes scratch windows of
-    # (T+C) i32 plus nplanes output blocks of T; keep the total under ~half
-    # of the chip's 128 MB so double-buffered output streaming still fits.
+    # VMEM budget: the mergepath kernel holds 2*nplanes scratch window
+    # buffers of (2, T+C) i32 each (the leading 2 is the cross-step DMA
+    # lookahead slot parity) plus nplanes output blocks of T (double-
+    # buffered by the pipeline) — ~24*nplanes*T bytes total. Keep that
+    # under the kernel's 100 MB vmem_limit with headroom.
     # G=128 (T=256k) measured best for 1 plane on v5e; shrink with planes.
     g = 128
-    while g > 8 and nplanes * g * C * 4 * 3 > 96 * 2**20:
+    while g > 8 and nplanes * g * C * 4 * 6 >= 96 * 2**20:
         g //= 2
     return g
 

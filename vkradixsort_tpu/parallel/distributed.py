@@ -309,16 +309,25 @@ def _idx_sort_merge(enc, gidx, values: Sequence[jnp.ndarray], interpret):
     )
 
 
-def _pick_local_engine(local_engine, gdt, vals, n_chunk):
+def _pick_local_engine(local_engine, gdt, vals, n_chunk, n_sort_max, nck):
     """Static (trace-time) engine choice for the shard-local sort phases.
 
     ``None`` consults ROUTE_TABLE["dist_local"] at the per-shard chunk size
     — but only on TPU and inside the merge engine's envelope (int32
-    position carries, 4-byte payload planes); everything else runs the
-    always-valid XLA composite sort. Explicit "merge" is honored on any
-    backend (Pallas interpret mode off-TPU — the CPU-mesh test path)."""
-    outside = gdt != jnp.dtype(jnp.int32) or any(
-        np.dtype(v.dtype).itemsize != 4 for v in vals
+    position carries, 4-byte payload planes, and the int32 split-arithmetic
+    size bound at ``n_sort_max``); everything else runs the always-valid
+    XLA composite sort. ``n_sort_max`` is the LARGEST array the local sort
+    ever sees — the final received-buffer sort of ~slack * n_local
+    elements, ``overlap_chunks`` times the chunk size, which is where the
+    envelope actually binds. Explicit "merge" is honored on any backend
+    (Pallas interpret mode off-TPU — the CPU-mesh test path)."""
+    from vkradixsort_tpu.ops import merge
+
+    nplanes = nck + 1 + len(vals)  # key planes + position carry + payloads
+    outside = (
+        gdt != jnp.dtype(jnp.int32)
+        or any(np.dtype(v.dtype).itemsize != 4 for v in vals)
+        or not merge.fits_envelope(n_sort_max, None, nplanes)
     )
     if local_engine is not None:
         if local_engine not in ("xla", "merge"):
@@ -327,8 +336,10 @@ def _pick_local_engine(local_engine, gdt, vals, n_chunk):
             )
         if local_engine == "merge" and outside:
             raise ValueError(
-                "local_engine='merge' needs int32 position carries "
-                "(N < 2^31) and 4-byte payload planes; use 'xla' here"
+                "local_engine='merge' needs int32 position carries, 4-byte "
+                "payload planes, and a receive-buffer sort inside the merge "
+                f"engine's int32 split envelope (got {n_sort_max} elements); "
+                "use 'xla' here"
             )
         return local_engine
     if outside:
@@ -463,7 +474,12 @@ def sort_sharded(
     n_local_padded = ((n // num_shards + grain - 1) // grain) * grain
     cap = int(slack * n_local_padded / (overlap_chunks * num_shards)) + 64
     eng = _pick_local_engine(
-        local_engine, gdt, vals, n_local_padded // overlap_chunks
+        local_engine, gdt, vals,
+        n_local_padded // overlap_chunks,
+        # the final received-buffer sort is the largest local sort:
+        # C chunks x P shards x per-bucket capacity (see _partition_fn)
+        overlap_chunks * num_shards * cap,
+        2 if enc.dtype == jnp.uint64 else 1,
     )
     if eng == "merge":
         try:
