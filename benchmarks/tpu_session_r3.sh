@@ -50,10 +50,13 @@ step 4_argsort 5400 python benchmarks/sweep.py --engines merge,tiled \
   --sizes 1e6,1e7,1e8 --op argsort --csv $R/v5e_merge_vs_tiled_argsort.csv
 
 # 5-6: merge grain sweeps per N (VERDICT task 3 — the NBPW-study analog)
+# total-stage-count model (compute-bound kernel): levels x log2(T) + the
+# T-network favors SMALL tiles, while per-level DMA read-amp (T+C)/T and
+# per-tile fixed overheads favor large — sweep both slopes of the valley
 step 5_grain 7200 python benchmarks/grain_sweep.py --engine merge \
-  --sizes 1e6,1e7,1e8 --tiles 14,15,16,17,18,19,20 --csv $R/v5e_merge_grain.csv
+  --sizes 1e6,1e7,1e8 --tiles 13,14,15,16,17,18,19,20 --csv $R/v5e_merge_grain.csv
 step 6_grain_kv 5400 python benchmarks/grain_sweep.py --engine merge --kv \
-  --sizes 1e7,1e8 --tiles 15,16,17,18 --csv $R/v5e_merge_grain_kv.csv
+  --sizes 1e7,1e8 --tiles 13,14,15,16,17,18 --csv $R/v5e_merge_grain_kv.csv
 
 # 7: u64 keys (VERDICT task 6)
 step 7_u64 5400 python benchmarks/sweep.py --engines merge,tiled \
