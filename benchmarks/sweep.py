@@ -49,11 +49,18 @@ def main() -> None:
                     choices=["uniform", "uniform28", "descending", "constant", "zipf"])
     ap.add_argument("--kv", action="store_true", help="sort key-value pairs")
     ap.add_argument("--op", default=None,
-                    choices=["keys", "kv", "kv_unstable", "argsort"],
+                    choices=["keys", "kv", "kv_unstable", "kv_gather", "argsort"],
                     help="operation to sweep (overrides --kv; argsort/kv_unstable "
-                         "enable x64 and exercise the packed fast paths on 'tiled')")
+                         "enable x64 and exercise the packed fast paths on 'tiled'; "
+                         "kv_gather is the composite argsort-then-bulk-gather "
+                         "alternative to the carried kv sort — VERDICT r2 task 4)")
     ap.add_argument("--dtype", default="uint32",
                     choices=["uint32", "uint64", "float32", "int32"])
+    ap.add_argument("--payload", default="u32",
+                    choices=["u32", "u64", "u32x2"],
+                    help="payload plane(s) for the kv ops: one 4-byte array "
+                         "(default), one 8-byte array (two carry planes on the "
+                         "Pallas engines), or TWO 4-byte arrays (multi-payload)")
     ap.add_argument("--csv", default="sweep.csv", help="CSV output path (appends)")
     ap.add_argument("--verify-max", type=int, default=20_000_000,
                     help="exact host verification up to this N (device-side sortedness above)")
@@ -75,10 +82,14 @@ def main() -> None:
 
     op = args.op or ("kv" if args.kv else "keys")
     args.kv = op == "kv"
+    kv_ops = ("kv", "kv_unstable", "kv_gather")
     if np.dtype(args.dtype).kind in "fi" and op != "keys":
         ap.error("float/signed key dtypes currently sweep --op keys only "
                  "(the kv/argsort timing chains carry unsigned bits)")
-    if args.dtype == "uint64" or op in ("argsort", "kv_unstable"):
+    if args.payload != "u32" and op not in kv_ops:
+        ap.error("--payload applies to the kv ops only")
+    if (args.dtype == "uint64" or args.payload == "u64"
+            or op in ("argsort", "kv_unstable", "kv_gather")):
         jax.config.update("jax_enable_x64", True)
 
     import vkradixsort_tpu as vk
@@ -117,12 +128,28 @@ def main() -> None:
             if engine == "samplesort" and (op != "keys" or n < (1 << 16)):
                 continue  # keys-only here, large-N engine
             try:
-                if op in ("kv", "kv_unstable"):
-                    values = jnp.arange(n, dtype=jnp.uint32)
+                if op in kv_ops:
+                    if args.payload == "u64":
+                        values = jnp.arange(n, dtype=jnp.uint64)
+                    elif args.payload == "u32x2":
+                        pos = jnp.arange(n, dtype=jnp.uint32)
+                        values = (pos, ~pos)  # distinct planes catch swaps
+                    else:
+                        values = jnp.arange(n, dtype=jnp.uint32)
 
-                    def f(kk, vv, _e=engine, _s=(op == "kv")):
-                        return vk.sort_pairs(kk, vv, backend=_e, stable=_s,
-                                             config=config)
+                    if op == "kv_gather":
+                        # the argsort-then-bulk-gather composite: one fewer
+                        # carried plane on merge, but one random gather pass
+                        # per payload plane (plus the keys) afterwards
+                        def f(kk, vv, _e=engine):
+                            perm = vk.argsort(kk, backend=_e, config=config)
+                            return jnp.take(kk, perm), jax.tree.map(
+                                lambda a: jnp.take(a, perm), vv
+                            )
+                    else:
+                        def f(kk, vv, _e=engine, _s=(op == "kv")):
+                            return vk.sort_pairs(kk, vv, backend=_e, stable=_s,
+                                                 config=config)
 
                     out_k, out_v = jax.jit(f)(keys, values)
                     dt = measure_pairs_seconds_per_call(f, keys, values, reps=4)
@@ -164,8 +191,17 @@ def main() -> None:
                 )
                 if op != "keys":
                     perm = np.argsort(k_np, kind="stable")
-                    exact = exact and bool(
-                        np.array_equal(np.asarray(out_v), perm.astype(np.uint32))
+                    if args.payload == "u64":
+                        exp = perm.astype(np.uint64)
+                    elif args.payload == "u32x2":
+                        exp = (perm.astype(np.uint32), ~perm.astype(np.uint32))
+                    else:
+                        exp = perm.astype(np.uint32)
+                    got = out_v if isinstance(out_v, tuple) else (out_v,)
+                    want = exp if isinstance(exp, tuple) else (exp,)
+                    exact = exact and len(got) == len(want) and all(
+                        bool(np.array_equal(np.asarray(g), w))
+                        for g, w in zip(got, want)
                     )
             elif op == "argsort":
                 # sampled: keys gathered through the permutation must ascend
@@ -177,6 +213,7 @@ def main() -> None:
                 exact = bool((o[1:] >= o[:-1]).all())  # sampled sortedness
             row = dict(
                 engine=engine, n=n, dtype=args.dtype, op=op, kv=int(args.kv),
+                payload=args.payload if op in kv_ops else "",
                 distribution=args.distribution,
                 tpu_ms=round(dt * 1e3, 4), cpu_ms=round(cpu_ms, 2),
                 mkeys_per_s=round(n / dt / 1e6, 1), exact=int(exact),

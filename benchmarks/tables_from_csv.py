@@ -39,6 +39,10 @@ def route_rows(rows):
         if int(r.get("exact", 0)) != 1:
             continue
         op = r.get("op") or ("kv" if r.get("kv") == "1" else "keys")
+        if op not in ("keys", "kv", "argsort"):
+            continue  # kv_gather/kv_unstable are variants, not routed ops
+        if r.get("payload") not in (None, "", "u32"):
+            continue  # routing keys on the default single-u32-payload shape
         n, ms = int(r["n"]), float(r["tpu_ms"])
         cur = by_op[op].get(n)
         if cur is None or ms < cur[0]:

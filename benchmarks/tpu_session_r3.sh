@@ -62,6 +62,19 @@ step 6_grain_kv 5400 python benchmarks/grain_sweep.py --engine merge --kv \
 step 7_u64 5400 python benchmarks/sweep.py --engines merge,tiled \
   --sizes 1e6,1e8 --dtype uint64 --csv $R/v5e_merge_vs_tiled_u64.csv
 
+# 7b/7c: multi-plane payloads at the headline size (VERDICT task 6):
+# one 8-byte payload (two carry planes) and u64 keys + u32 payload
+step 7b_kv_u64payload 3600 python benchmarks/sweep.py --engines merge,tiled \
+  --sizes 1e8 --op kv --payload u64 --csv $R/v5e_kv_payload_u64.csv
+step 7c_kv_u64keys 3600 python benchmarks/sweep.py --engines merge,tiled \
+  --sizes 1e8 --op kv --dtype uint64 --csv $R/v5e_kv_u64keys.csv
+
+# 7d: the argsort-then-bulk-gather kv alternative (VERDICT task 4): merge
+# argsort is one plane cheaper than carried kv, but pays a random-gather
+# pass per output plane — measure the composite against the carried sort
+step 7d_kv_gather 3600 python benchmarks/sweep.py --engines merge,tiled \
+  --sizes 1e8 --op kv_gather --csv $R/v5e_kv_gather.csv
+
 # 8: DMA-lookahead A/B at the headline size (merge keys + kv)
 step 8_ab_serial 3600 env VKRS_MERGE_LOOKAHEAD=0 \
   python benchmarks/sweep.py --engines merge --sizes 1e8 \

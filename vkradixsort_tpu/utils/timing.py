@@ -90,15 +90,21 @@ def measure_pairs_seconds_per_call(
 ) -> float:
     """Like measure_seconds_per_call for key-value sorts.
 
-    Grows ``reps`` geometrically until the timed window stands clear of the
-    tunnel RTT jitter, exactly like the keys-only variant — without this,
-    sub-millisecond sorts measure as ~0.
+    ``values`` may be a single array or any pytree of payload arrays (the
+    multi-payload sweeps time tuples). Grows ``reps`` geometrically until
+    the timed window stands clear of the tunnel RTT jitter, exactly like
+    the keys-only variant — without this, sub-millisecond sorts measure
+    as ~0.
     """
 
     def make(fn_body, reps):
         def chained(k, v):
             out = jax.lax.fori_loop(0, reps, fn_body, (k, v))
-            return out[0].reshape(-1)[0] + out[1].reshape(-1)[0]
+            # one forcing scalar regardless of payload tree shape/dtypes
+            acc = out[0].reshape(-1)[0].astype(jnp.float32)
+            for leaf in jax.tree.leaves(out[1]):
+                acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+            return acc
 
         return jax.jit(chained)
 
