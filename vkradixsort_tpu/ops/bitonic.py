@@ -55,13 +55,20 @@ def _partner(arr, flat, j, jr, is_row):
     return jnp.where(is_row, pr, plv)
 
 
-def _lex_lt_i(aps, bps):
-    """1 where tuple a < tuple b lexicographically (int masks: Mosaic
-    rejects bool<->bool not/xor), planes most-significant first."""
-    m = jnp.where(aps[-1] < bps[-1], 1, 0)
+def _lex_lt_gt_i(aps, bps):
+    """(a < b, a > b) lexicographic masks in ONE pass (int masks: Mosaic
+    rejects bool<->bool not/xor), planes most-significant first. The stage
+    needs both directions; sharing the per-plane compares (equality derived
+    as 1 - lt - gt) halves the comparator cost for multi-plane sorts."""
+    lt = jnp.where(aps[-1] < bps[-1], 1, 0)
+    gt = jnp.where(bps[-1] < aps[-1], 1, 0)
     for a, b in zip(reversed(aps[:-1]), reversed(bps[:-1])):
-        m = jnp.where(a < b, 1, 0) + jnp.where(a == b, 1, 0) * m
-    return m
+        l_k = jnp.where(a < b, 1, 0)
+        g_k = jnp.where(b < a, 1, 0)
+        e_k = 1 - l_k - g_k
+        lt = l_k + e_k * lt
+        gt = g_k + e_k * gt
+    return lt, gt
 
 
 def bitonic_stages(keyps, vals, flat, j, k):
@@ -77,8 +84,7 @@ def bitonic_stages(keyps, vals, flat, j, k):
     lower_i = jnp.where((flat & j) == 0, 1, 0)
     up_i = jnp.where((flat & k) == 0, 1, 0)
     want_lo = lower_i == up_i
-    plt_i = _lex_lt_i(pkeyps, keyps)
-    pgt_i = _lex_lt_i(keyps, pkeyps)
+    plt_i, pgt_i = _lex_lt_gt_i(pkeyps, keyps)
     take_i = jnp.where(want_lo, plt_i, pgt_i)
     take = take_i == 1
     nkeyps = tuple(jnp.where(take, pk, p) for pk, p in zip(pkeyps, keyps))

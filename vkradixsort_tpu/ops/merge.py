@@ -92,14 +92,25 @@ def _lex_le_i(a_planes, b_planes, nck):
     return m
 
 
-def _lex_lt_i(a_planes, b_planes, nck):
-    """1 where a < b lexicographically over the first nck planes, else 0."""
-    m = jnp.where(a_planes[nck - 1] < b_planes[nck - 1], 1, 0)
+def _lex_lt_gt_i(a_planes, b_planes, nck):
+    """(a < b, a > b) lexicographic masks in ONE pass over the planes.
+
+    The lane stages need both directions of the strict comparison; evaluating
+    them as two independent lexicographic scans would redo every per-plane
+    compare. Here each plane contributes one ``<`` and one ``>`` compare and
+    the shared equality mask is derived arithmetically (1 - lt - gt) — for
+    nck > 1 this roughly halves the comparator cost of the (suspected
+    VPU-compute-bound) merge-level kernel's lane stages.
+    """
+    lt = jnp.where(a_planes[nck - 1] < b_planes[nck - 1], 1, 0)
+    gt = jnp.where(b_planes[nck - 1] < a_planes[nck - 1], 1, 0)
     for k in range(nck - 2, -1, -1):
-        m = jnp.where(a_planes[k] < b_planes[k], 1, 0) + jnp.where(
-            a_planes[k] == b_planes[k], 1, 0
-        ) * m
-    return m
+        l_k = jnp.where(a_planes[k] < b_planes[k], 1, 0)
+        g_k = jnp.where(b_planes[k] < a_planes[k], 1, 0)
+        e_k = 1 - l_k - g_k
+        lt = l_k + e_k * lt
+        gt = g_k + e_k * gt
+    return lt, gt
 
 
 # ---------------------------------------------------------------------------
@@ -139,8 +150,7 @@ def _lane_stage(planes, nck, G, flat, d, asc):
         pr = pltpu.roll(p, C - d, 1)  # == roll by -d: partner at lane+d
         pb = pltpu.roll(p, d, 1)  # partner at lane-d
         partners.append(jnp.where(lower == 1, pr, pb))
-    plt = _lex_lt_i(partners, planes2d, nck)
-    pgt = _lex_lt_i(planes2d, partners, nck)
+    plt, pgt = _lex_lt_gt_i(partners, planes2d, nck)
     want_lo = jnp.where(lower == asc, 1, 0)
     take = jnp.where(want_lo == 1, plt, pgt) == 1
     return [
