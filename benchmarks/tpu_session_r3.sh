@@ -83,6 +83,17 @@ step 8b_ab_serial_kv 3600 env VKRS_MERGE_LOOKAHEAD=0 \
   python benchmarks/sweep.py --engines merge --sizes 1e8 --op kv \
   --csv $L/ab_serial_kv.csv
 
+# 8c/8d: XLA-segsort tilesort seed A/B at the headline size (keys + kv):
+# replaces the network's levels 1..2048 with the chip's fastest measured
+# regime (one batched width-2048 sort) — wins iff the tilesort is
+# compute-bound enough to beat the extra XLA pass
+step 8c_segseed 3600 env VKRS_MERGE_SEGSEED=1 \
+  python benchmarks/sweep.py --engines merge --sizes 1e8 \
+  --csv $L/ab_segseed_keys.csv
+step 8d_segseed_kv 3600 env VKRS_MERGE_SEGSEED=1 \
+  python benchmarks/sweep.py --engines merge --sizes 1e8 --op kv \
+  --csv $L/ab_segseed_kv.csv
+
 # 9: component cost attribution (tilesort / split / level / e2e)
 step 9_profile 5400 python -u benchmarks/profile_merge.py --n 1e8 --planes 1,2,3
 

@@ -240,12 +240,39 @@ def _tilesort_chunks(tlog):
     return chunks
 
 
+def _segsort_seed(planes, nck):
+    """Seed the bitonic network's levels 1..C with ONE XLA batched segment
+    sort: rows of C elements sort at the chip's fastest measured regime
+    (BENCHMARKS.md "primitive rates": 4981 M/s keys at width 2048 vs the
+    660-980 M/s mid-size regimes), then odd rows flip to restore the
+    network's direction invariant (after level k completes, block q is
+    ascending iff q is even), so the Pallas tile-sort continues from level
+    2C. A/B-gated by env VKRS_MERGE_SEGSEED (trace-time, like the DMA
+    lookahead): whether the XLA pass beats the ~log2(C) in-kernel levels it
+    replaces depends on the tilesort's compute/DMA split — decided by the
+    committed session measurements, not assumed."""
+    rows2d = [p.reshape(-1, C) for p in planes]
+    out = jax.lax.sort(tuple(rows2d), dimension=1, num_keys=nck, is_stable=False)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows2d[0].shape[0], 1), 0)
+    odd = (ri & 1) == 1
+    return [jnp.where(odd, o[:, ::-1], o).reshape(-1) for o in out]
+
+
 def _tilesort_call(planes, nplanes, nck, G, interpret):
+    import os
+
     T = G * C
     tlog = int(np.log2(T))
     ntiles = planes[0].shape[0] // T
     bs = pl.BlockSpec((T,), lambda t: (t,))
-    for klo, khi in _tilesort_chunks(tlog):
+    chunks = _tilesort_chunks(tlog)
+    if os.environ.get("VKRS_MERGE_SEGSEED", "0") != "0":
+        planes = _segsort_seed(planes, nck)
+        clog = int(np.log2(C))
+        chunks = [
+            (max(klo, clog + 1), khi) for klo, khi in chunks if khi > clog
+        ]
+    for klo, khi in chunks:
         call = pl.pallas_call(
             functools.partial(_tilesort_kernel, nplanes, nck, G, klo, khi, tlog),
             grid=(ntiles,),
