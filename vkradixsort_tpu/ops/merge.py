@@ -398,15 +398,25 @@ def _mergepath_kernel(nplanes, nck, G, ntiles, lookahead, meta_ref, *refs):
     ``lookahead=False`` (env VKRS_MERGE_LOOKAHEAD=0) restores the serial
     fetch-wait-compute schedule in slot 0 — the A/B baseline for measuring
     the overlap, and the fallback if the dynamic-slot DMA pattern ever
-    regresses in Mosaic."""
+    regresses in Mosaic.
+
+    The slot pair lives FLAT in one 1-D scratch of 2*(T+C) elements per
+    window, addressed at ``slot*(T+C)``: a (2, T+C) buffer would carry
+    (2,128) sublane tiling whose single-row slices Mosaic rejects (the
+    round-3 real-chip compile failure; memory: axon-tpu-gotchas), while 1-D
+    offsets only need 1024-divisibility — T+C is a multiple of 2048."""
     T = G * C
+    W = T + C  # window length; the slot stride in the flat scratch
 
     ins = refs[:nplanes]
     outs = refs[nplanes : 2 * nplanes]
-    scr_a = refs[2 * nplanes : 3 * nplanes]  # each (2, T+C): slot-parity
+    scr_a = refs[2 * nplanes : 3 * nplanes]  # each (2*W,) flat slot pair
     scr_b = refs[3 * nplanes : 4 * nplanes]
     sem = refs[4 * nplanes]  # (2, 2*nplanes)
     t = pl.program_id(0)
+
+    def slot_ds(slot):
+        return pl.ds(pl.multiple_of(slot * np.int32(W), 1024), W)
 
     def window_copies(slot, tt):
         """The 2*nplanes window DMAs for tile ``tt`` into scratch ``slot``
@@ -415,15 +425,15 @@ def _mergepath_kernel(nplanes, nck, G, ntiles, lookahead, meta_ref, *refs):
         for i in range(nplanes):
             cps.append(
                 pltpu.make_async_copy(
-                    ins[i].at[pl.ds(pl.multiple_of(meta_ref[tt, 0], 1024), T + C)],
-                    scr_a[i].at[slot],
+                    ins[i].at[pl.ds(pl.multiple_of(meta_ref[tt, 0], 1024), W)],
+                    scr_a[i].at[slot_ds(slot)],
                     sem.at[slot, np.int32(2 * i)],
                 )
             )
             cps.append(
                 pltpu.make_async_copy(
-                    ins[i].at[pl.ds(pl.multiple_of(meta_ref[tt, 3], 1024), T + C)],
-                    scr_b[i].at[slot],
+                    ins[i].at[pl.ds(pl.multiple_of(meta_ref[tt, 3], 1024), W)],
+                    scr_b[i].at[slot_ds(slot)],
                     sem.at[slot, np.int32(2 * i + 1)],
                 )
             )
@@ -462,13 +472,13 @@ def _mergepath_kernel(nplanes, nck, G, ntiles, lookahead, meta_ref, *refs):
     b_planes = []
     for i in range(nplanes):
         sent = _SENT if i < nck else np.int32(0)
-        wa = _align_window(scr_a[i].at[slot][:].reshape(G + 1, C), s_a, G)
+        wa = _align_window(scr_a[i][slot_ds(slot)].reshape(G + 1, C), s_a, G)
         a_planes.append(jnp.where(flat < a_rem, wa, sent).reshape(T))
         # the B window is rev(B') already (descending storage read forward);
         # its valid elements sit at the END, so the sentinel mask is a HEAD
         # mask — sentinels-then-descending keeps the half descending, so
         # A' ++ B-window stays bitonic with zero reversal stages.
-        wb = _align_window(scr_b[i].at[slot][:].reshape(G + 1, C), s_b, G)
+        wb = _align_window(scr_b[i][slot_ds(slot)].reshape(G + 1, C), s_b, G)
         b_planes.append(jnp.where(flat >= T - b_rem, wb, sent).reshape(T))
     # bitonic lowest-half: lo = min(A', rev(B')) is the output tile's multiset
     le = _lex_le_i(a_planes, b_planes, nck) == 1
@@ -495,8 +505,9 @@ def _mergepath_call(planes, meta, nplanes, nck, G, interpret):
         # written mirrored (meta col 6), so placement follows the run's
         # storage direction with no extra pass
         out_specs=[pl.BlockSpec((T,), lambda t, meta: (meta[t, 6],))] * nplanes,
-        # leading dim 2 = the lookahead slot parity (kernel docstring)
-        scratch_shapes=[pltpu.VMEM((2, T + C), jnp.int32)] * (2 * nplanes)
+        # flat slot pair per window: slot s at offset s*(T+C) — a (2, T+C)
+        # shape would carry (2,128) tiling whose 1-row slices Mosaic rejects
+        scratch_shapes=[pltpu.VMEM((2 * (T + C),), jnp.int32)] * (2 * nplanes)
         + [pltpu.SemaphoreType.DMA((2, 2 * nplanes))],
     )
     call = pl.pallas_call(
