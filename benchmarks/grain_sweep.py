@@ -85,7 +85,19 @@ def main() -> None:
     log(f"devices: {jax.devices()}  engine={args.engine} sizes={sizes} "
         f"tiles=2^{tile_logs} kv={args.kv}")
 
-    rows = []
+    def append_row(row):
+        # one row per (n, grain) point, flushed IMMEDIATELY: a step timeout
+        # mid-sweep keeps every point already measured (the session runner
+        # kills whole steps, and compiles dominate — losing a finished 1e8
+        # point to a later timeout costs ~4 min of chip time to re-measure)
+        new = not os.path.exists(args.csv)
+        with open(args.csv, "a", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(row.keys()))
+            if new:
+                w.writeheader()
+            w.writerow(row)
+
+    nrows = 0
     for n in sizes:
         keys = jnp.asarray(rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
         values = jnp.arange(n, dtype=jnp.uint32) if args.kv else None
@@ -140,21 +152,15 @@ def main() -> None:
                 dt = measure_pairs_seconds_per_call(f, keys, values, reps=args.reps)
             else:
                 dt = measure_seconds_per_call(jax.jit(f), keys, reps=args.reps)
-            rows.append(dict(engine=args.engine, n=n, grain=tt,
-                             kv=int(args.kv), tpu_ms=round(dt * 1e3, 2),
-                             mkeys_per_s=round(n / dt / 1e6, 1),
-                             exact=int(exact)))
+            append_row(dict(engine=args.engine, n=n, grain=tt,
+                            kv=int(args.kv), tpu_ms=round(dt * 1e3, 2),
+                            mkeys_per_s=round(n / dt / 1e6, 1),
+                            exact=int(exact)))
+            nrows += 1
             log(f"  n={n:>12,} grain=2^{lt}: {dt*1e3:9.1f} ms  "
                 f"{n/dt/1e6:7.1f} M/s  exact={exact}")
 
-    if rows:
-        new = not os.path.exists(args.csv)
-        with open(args.csv, "a", newline="") as fh:
-            w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
-            if new:
-                w.writeheader()
-            w.writerows(rows)
-        log(f"wrote {len(rows)} rows to {args.csv}")
+    log(f"wrote {nrows} rows to {args.csv}")
 
 
 if __name__ == "__main__":

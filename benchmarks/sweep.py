@@ -112,7 +112,17 @@ def main() -> None:
     log(f"devices: {jax.devices()}  engines={engines} sizes={sizes} "
         f"dist={args.distribution} op={op}")
 
-    rows = []
+    def append_row(row):
+        # flushed per point, not at exit: a step timeout mid-sweep keeps
+        # every already-measured row (compiles dominate the cost of redoing)
+        new = not os.path.exists(args.csv)
+        with open(args.csv, "a", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(row.keys()))
+            if new:
+                w.writeheader()
+            w.writerow(row)
+
+    nrows = 0
     for n in sizes:
         k_np = make_keys(rng, n, dtype, args.distribution)
         keys = jnp.asarray(k_np)
@@ -218,19 +228,12 @@ def main() -> None:
                 tpu_ms=round(dt * 1e3, 4), cpu_ms=round(cpu_ms, 2),
                 mkeys_per_s=round(n / dt / 1e6, 1), exact=int(exact),
             )
-            rows.append(row)
+            append_row(row)
+            nrows += 1
             log(f"  {engine:12s} n={n:>12,}: {dt*1e3:9.3f} ms  "
                 f"{n/dt/1e6:8.1f} M/s  exact={exact}")
 
-    if rows:
-        import os
-        new = not os.path.exists(args.csv)
-        with open(args.csv, "a", newline="") as fh:
-            w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
-            if new:
-                w.writeheader()
-            w.writerows(rows)
-        log(f"wrote {len(rows)} rows to {args.csv}")
+    log(f"wrote {nrows} rows to {args.csv}")
 
 
 if __name__ == "__main__":
