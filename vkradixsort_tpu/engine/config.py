@@ -90,10 +90,15 @@ GRAIN_TABLE: dict = {
 # "tiled" when the call is outside the engine's envelope (see
 # ops/dispatch._route).
 ROUTE_TABLE: dict = {
-    # XLA's comparator sort ("tiled") measured fastest at every single-chip
-    # size in round 1 (BENCHMARKS.md). The merge engine takes rows here as
-    # soon as the real-chip sweep shows its crossover.
-    "keys": [(float("inf"), "tiled")],
+    # Measured on v5e (benchmarks/results/v5e_merge_vs_tiled_keys.csv): the
+    # merge engine beats XLA's flat sort at 1e8 u32 keys (148.5 ms vs
+    # 178.7 ms, 1.20x) and loses at 1.6e7 and below, so keys cross over at
+    # the log-midpoint ~4e7 — the TPU analog of the reference's published
+    # single-vs-multi regime split (reference README.md:11-22).
+    "keys": [(40_000_000, "tiled"), (float("inf"), "merge")],
+    # kv (v5e_merge_vs_tiled_kv.csv): tiled wins at every measured size —
+    # 474.6 ms vs 519.8 ms at 1e8 (3-plane stable carry); merge rows land
+    # here only if the grain sweep / segseed A/B flip the 1e8 point.
     "kv": [(float("inf"), "tiled")],
     "argsort": [(float("inf"), "tiled")],
     # Local phases of the distributed sort (parallel/distributed.py): "xla"
