@@ -61,6 +61,9 @@ def main() -> None:
                     help="payload plane(s) for the kv ops: one 4-byte array "
                          "(default), one 8-byte array (two carry planes on the "
                          "Pallas engines), or TWO 4-byte arrays (multi-payload)")
+    ap.add_argument("--tile", type=int, default=None,
+                    help="log2 elements-per-tile grain override "
+                         "(SortConfig.tile = 1 << TILE) for all engines")
     ap.add_argument("--csv", default="sweep.csv", help="CSV output path (appends)")
     ap.add_argument("--verify-max", type=int, default=20_000_000,
                     help="exact host verification up to this N (device-side sortedness above)")
@@ -98,6 +101,8 @@ def main() -> None:
 
     config = DEFAULT_CONFIG.replace(interpret=True) if args.interpret \
         else DEFAULT_CONFIG
+    if args.tile is not None:
+        config = config.replace(tile=1 << args.tile)
     from vkradixsort_tpu.utils.timing import (
         measure_pairs_seconds_per_call,
         measure_seconds_per_call,

@@ -207,3 +207,15 @@ def test_dispatcher_consults_grain_table(rng, monkeypatch):
     out = vk.sort(jnp.asarray(k), backend="merge", config=CFG)
     assert seen["tile_rows"] == 16_384 // 2048
     np.testing.assert_array_equal(np.asarray(out), np.sort(k))
+
+
+def test_segseed_table_lookup():
+    from vkradixsort_tpu.engine.config import SEGSEED_TABLE, segseed_for
+
+    # rows sorted, booleans only; unknown op -> False (pure-network default)
+    assert segseed_for("nosuch_op", 10) is False
+    for op, rows in SEGSEED_TABLE.items():
+        assert rows == sorted(rows, key=lambda r: r[0]), op
+        for max_n, seg in rows:
+            assert isinstance(seg, bool), (op, seg)
+        assert isinstance(segseed_for(op, 10**8), bool)

@@ -166,3 +166,62 @@ def test_dispatch_merge_int64_kv(rng):
     perm = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(out_k), keys[perm])
     np.testing.assert_array_equal(np.asarray(out_v), perm.astype(np.uint32))
+
+
+# --- XLA segment-sort tilesort seed (segseed) ---------------------------------
+
+
+def test_sort_merge_segseed_keys(rng):
+    # seeded tilesort (levels 1..log2(C) via one XLA batched sort) must be
+    # bitwise-identical to the pure-network path
+    keys = make_keys(rng, 30_000, np.uint32, "uniform")
+    out, _ = sort_merge(
+        jnp.asarray(keys), tile_rows=2, interpret=INTERPRET, segseed=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
+
+
+def test_sort_merge_segseed_stable_kv(rng):
+    # heavy duplicates: the seed's unstable lax.sort must still yield a
+    # STABLE composite because the position plane rides as a compare plane
+    n = 30_000
+    keys = rng.integers(0, 7, size=n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    out_k, (out_v,) = sort_merge(
+        jnp.asarray(keys), (jnp.asarray(vals),), tile_rows=2,
+        interpret=INTERPRET, segseed=True,
+    )
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[perm])
+    np.testing.assert_array_equal(np.asarray(out_v), perm.astype(np.uint32))
+
+
+def test_argsort_merge_segseed(rng):
+    from vkradixsort_tpu.ops.merge import argsort_merge
+
+    n = 30_000
+    keys = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    keys[rng.integers(0, n, size=n // 4)] = keys[0]
+    perm = argsort_merge(
+        jnp.asarray(keys), tile_rows=2, interpret=INTERPRET, segseed=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(perm), np.argsort(keys, kind="stable").astype(np.uint32)
+    )
+
+
+def test_segseed_env_overrides_argument(rng, monkeypatch):
+    # VKRS_MERGE_SEGSEED=0 forces the seed OFF even when the caller (or the
+    # dispatcher's SEGSEED_TABLE default) asks for it — the A/B scripts in
+    # benchmarks/ rely on exactly this precedence
+    keys = make_keys(rng, 10_000, np.uint32, "zipf")
+    monkeypatch.setenv("VKRS_MERGE_SEGSEED", "0")
+    out0, _ = sort_merge(
+        jnp.asarray(keys), tile_rows=2, interpret=INTERPRET, segseed=True
+    )
+    monkeypatch.setenv("VKRS_MERGE_SEGSEED", "1")
+    out1, _ = sort_merge(
+        jnp.asarray(keys), tile_rows=2, interpret=INTERPRET, segseed=False
+    )
+    np.testing.assert_array_equal(np.asarray(out0), np.sort(keys))
+    np.testing.assert_array_equal(np.asarray(out1), np.sort(keys))

@@ -81,6 +81,29 @@ GRAIN_TABLE: dict = {
 }
 
 
+# Merge-engine tilesort seeding — whether the bitonic network's levels
+# 1..log2(2048) are replaced by ONE XLA batched width-2048 segment sort
+# (ops/merge._segsort_seed), per op and size. A/B-measured on v5e
+# (benchmarks/results/v5e_merge_grain_kv_segseed.csv and the r3b session):
+# the XLA pass wins when the tilesort is compute-bound (multi-plane kv),
+# rows are (max_n, bool), first row with n <= max_n wins.
+SEGSEED_TABLE: dict = {
+    "keys": [(float("inf"), False)],
+    "kv": [(float("inf"), False)],
+    "argsort": [(float("inf"), False)],
+}
+
+
+def segseed_for(op: str, n: int) -> bool:
+    """Measured default for the merge engine's XLA tilesort seed at size
+    ``n`` (op is "keys" | "kv" | "argsort"). Env VKRS_MERGE_SEGSEED
+    overrides at trace time (ops/merge._env_segseed)."""
+    for max_n, seg in SEGSEED_TABLE.get(op, []):
+        if n <= max_n:
+            return bool(seg)
+    return False
+
+
 # Default-routing table — which engine ``backend=None`` picks on TPU, per
 # operation and size. The analog of the reference's published single-vs-multi
 # regime guidance (reference README.md:11-22: "single for N < ~10k, multi

@@ -43,6 +43,7 @@ from vkradixsort_tpu.engine.config import (
     SortConfig,
     grain_for,
     route_for,
+    segseed_for,
 )
 from vkradixsort_tpu.ops import reference
 from vkradixsort_tpu.ops.common import decode_keys, encode_keys, sortable_dtype
@@ -137,11 +138,13 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
     if path == "merge":
         from vkradixsort_tpu.ops import merge
 
+        mop = "kv" if vals else "keys"
         return merge.sort_merge(
             enc,
             vals,
-            tile_rows=_merge_tile_rows(config, "kv" if vals else "keys", enc.shape[0]),
+            tile_rows=_merge_tile_rows(config, mop, enc.shape[0]),
             interpret=config.interpret,
+            segseed=segseed_for(mop, enc.shape[0]),
         )
     if path == "bitonic":
         from vkradixsort_tpu.engine.context import default_context
@@ -418,7 +421,8 @@ def argsort(
             if descending:
                 enc = ~enc
             return merge.argsort_merge(
-                enc, tile_rows=tr, interpret=config.interpret
+                enc, tile_rows=tr, interpret=config.interpret,
+                segseed=segseed_for("argsort", n),
             )
     idx_dtype = jnp.uint32 if n < (1 << 32) else jnp.uint64
     idx = jnp.arange(n, dtype=idx_dtype)

@@ -258,15 +258,24 @@ def _segsort_seed(planes, nck):
     return [jnp.where(odd, o[:, ::-1], o).reshape(-1) for o in out]
 
 
-def _tilesort_call(planes, nplanes, nck, G, interpret):
+def _env_segseed(default: bool) -> bool:
+    """Trace-time A/B override: VKRS_MERGE_SEGSEED=0/1 forces the seed off/on
+    (benchmarks/tpu_session_r3*.sh sweep it per process); unset, the caller's
+    value — the dispatcher's measured per-(op, N) default
+    (engine/config.SEGSEED_TABLE) or an explicit ``segseed=`` — stands."""
     import os
 
+    v = os.environ.get("VKRS_MERGE_SEGSEED")
+    return default if v is None else v != "0"
+
+
+def _tilesort_call(planes, nplanes, nck, G, interpret, segseed=False):
     T = G * C
     tlog = int(np.log2(T))
     ntiles = planes[0].shape[0] // T
     bs = pl.BlockSpec((T,), lambda t: (t,))
     chunks = _tilesort_chunks(tlog)
-    if os.environ.get("VKRS_MERGE_SEGSEED", "0") != "0":
+    if segseed:
         planes = _segsort_seed(planes, nck)
         clog = int(np.log2(C))
         chunks = [
@@ -543,6 +552,7 @@ def sort_merge_planes(
     *,
     tile_rows: int = 128,
     interpret: bool = False,
+    segseed: bool = False,
 ):
     """Sort int32 planes lexicographically by the first ``nck`` planes.
 
@@ -579,8 +589,10 @@ def sort_merge_planes(
             else p
         )
 
+    seg = _env_segseed(segseed)
+
     def run_kernels(work):
-        work = _tilesort_call(work, nplanes, nck, G, interpret)
+        work = _tilesort_call(work, nplanes, nck, G, interpret, segseed=seg)
         ntiles_total = buflen // T
         nlev = max(int(np.ceil(np.log2(npad // T))), 0) if npad > T else 0
 
@@ -645,6 +657,7 @@ def sort_merge(
     stable: bool = True,
     tile_rows: int | None = None,
     interpret: bool = False,
+    segseed: bool = False,
 ):
     """Merge-path engine on encoded (unsigned) keys with payload planes.
 
@@ -690,7 +703,8 @@ def sort_merge(
     if tile_rows is None:
         tile_rows = _default_tile_rows(nck + len(carry))
     out = sort_merge_planes(
-        key_planes + carry, nck, tile_rows=tile_rows, interpret=interpret
+        key_planes + carry, nck, tile_rows=tile_rows, interpret=interpret,
+        segseed=segseed,
     )
     if enc.dtype == jnp.uint32:
         out_enc = out[0].view(jnp.uint32) ^ np.uint32(0x80000000)
@@ -716,6 +730,7 @@ def argsort_merge(
     *,
     tile_rows: int | None = None,
     interpret: bool = False,
+    segseed: bool = False,
 ) -> jnp.ndarray:
     """Stable argsort on the merge engine: uint32 permutation for n < 2^31.
 
@@ -741,7 +756,8 @@ def argsort_merge(
     if tile_rows is None:
         tile_rows = _default_tile_rows(len(planes))
     out = sort_merge_planes(
-        planes, len(planes), tile_rows=tile_rows, interpret=interpret
+        planes, len(planes), tile_rows=tile_rows, interpret=interpret,
+        segseed=segseed,
     )
     # positions are non-negative int32: the uint32 view is value-identical
     return out[-1].view(jnp.uint32)
