@@ -225,3 +225,20 @@ def test_segseed_env_overrides_argument(rng, monkeypatch):
     )
     np.testing.assert_array_equal(np.asarray(out0), np.sort(keys))
     np.testing.assert_array_equal(np.asarray(out1), np.sort(keys))
+
+
+@pytest.mark.parametrize("width", [4096, 8192])
+def test_sort_merge_segseed_width(rng, width):
+    # wider-than-C seeds (segseed=<int>) replace more network levels; at
+    # width == T the Pallas tilesort is skipped entirely — both must stay
+    # bitwise-exact and stable
+    n = 40_000
+    keys = rng.integers(0, 13, size=n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    out_k, (out_v,) = sort_merge(
+        jnp.asarray(keys), (jnp.asarray(vals),), tile_rows=4,
+        interpret=INTERPRET, segseed=width,
+    )
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[perm])
+    np.testing.assert_array_equal(np.asarray(out_v), perm.astype(np.uint32))

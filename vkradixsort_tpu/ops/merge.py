@@ -240,33 +240,38 @@ def _tilesort_chunks(tlog):
     return chunks
 
 
-def _segsort_seed(planes, nck):
-    """Seed the bitonic network's levels 1..C with ONE XLA batched segment
-    sort: rows of C elements sort at the chip's fastest measured regime
-    (BENCHMARKS.md "primitive rates": 4981 M/s keys at width 2048 vs the
-    660-980 M/s mid-size regimes), then odd rows flip to restore the
-    network's direction invariant (after level k completes, block q is
-    ascending iff q is even), so the Pallas tile-sort continues from level
-    2C. A/B-gated by env VKRS_MERGE_SEGSEED (trace-time, like the DMA
-    lookahead): whether the XLA pass beats the ~log2(C) in-kernel levels it
-    replaces depends on the tilesort's compute/DMA split — decided by the
-    committed session measurements, not assumed."""
-    rows2d = [p.reshape(-1, C) for p in planes]
+def _segsort_seed(planes, nck, width=None):
+    """Seed the bitonic network's levels 1..width with ONE XLA batched
+    segment sort: narrow rows sort at the chip's fastest measured regime
+    (BENCHMARKS.md "primitive rates": 4981 M/s keys at width 2048, 3214 at
+    16384, vs the 660-980 M/s mid-size regimes), then odd rows flip to
+    restore the network's direction invariant (after level k completes,
+    block q is ascending iff q is even), so the Pallas tile-sort continues
+    from level 2*width — or is skipped entirely when width == T. Whether
+    the XLA pass beats the in-kernel levels it replaces depends on the
+    tilesort's compute/DMA split — decided by the committed session
+    measurements (SEGSEED_TABLE), not assumed."""
+    w = C if width is None else int(width)
+    rows2d = [p.reshape(-1, w) for p in planes]
     out = jax.lax.sort(tuple(rows2d), dimension=1, num_keys=nck, is_stable=False)
     ri = jax.lax.broadcasted_iota(jnp.int32, (rows2d[0].shape[0], 1), 0)
     odd = (ri & 1) == 1
     return [jnp.where(odd, o[:, ::-1], o).reshape(-1) for o in out]
 
 
-def _env_segseed(default: bool) -> bool:
-    """Trace-time A/B override: VKRS_MERGE_SEGSEED=0/1 forces the seed off/on
-    (benchmarks/tpu_session_r3*.sh sweep it per process); unset, the caller's
-    value — the dispatcher's measured per-(op, N) default
+def _env_segseed(default):
+    """Trace-time A/B override: VKRS_MERGE_SEGSEED=0/1 forces the seed
+    off/on, and a wider power of two (e.g. 16384) selects that seed width
+    (benchmarks/tpu_session_r3*.sh sweep it per process); unset, the
+    caller's value — the dispatcher's measured per-(op, N) default
     (engine/config.SEGSEED_TABLE) or an explicit ``segseed=`` — stands."""
     import os
 
     v = os.environ.get("VKRS_MERGE_SEGSEED")
-    return default if v is None else v != "0"
+    if v is None:
+        return default
+    iv = int(v)
+    return bool(iv) if iv in (0, 1) else iv
 
 
 def _tilesort_call(planes, nplanes, nck, G, interpret, segseed=False):
@@ -276,10 +281,14 @@ def _tilesort_call(planes, nplanes, nck, G, interpret, segseed=False):
     bs = pl.BlockSpec((T,), lambda t: (t,))
     chunks = _tilesort_chunks(tlog)
     if segseed:
-        planes = _segsort_seed(planes, nck)
-        clog = int(np.log2(C))
+        # segseed=True seeds at the lane width C; an int seeds wider —
+        # clamped to the tile (width T skips the Pallas tilesort entirely)
+        w = C if segseed is True else min(int(segseed), T)
+        assert w >= C and (w & (w - 1)) == 0, "seed width: power of two >= C"
+        planes = _segsort_seed(planes, nck, width=w)
+        wlog = int(np.log2(w))
         chunks = [
-            (max(klo, clog + 1), khi) for klo, khi in chunks if khi > clog
+            (max(klo, wlog + 1), khi) for klo, khi in chunks if khi > wlog
         ]
     for klo, khi in chunks:
         call = pl.pallas_call(
@@ -552,7 +561,7 @@ def sort_merge_planes(
     *,
     tile_rows: int = 128,
     interpret: bool = False,
-    segseed: bool = False,
+    segseed: bool | int = False,
 ):
     """Sort int32 planes lexicographically by the first ``nck`` planes.
 
@@ -657,7 +666,7 @@ def sort_merge(
     stable: bool = True,
     tile_rows: int | None = None,
     interpret: bool = False,
-    segseed: bool = False,
+    segseed: bool | int = False,
 ):
     """Merge-path engine on encoded (unsigned) keys with payload planes.
 
@@ -730,7 +739,7 @@ def argsort_merge(
     *,
     tile_rows: int | None = None,
     interpret: bool = False,
-    segseed: bool = False,
+    segseed: bool | int = False,
 ) -> jnp.ndarray:
     """Stable argsort on the merge engine: uint32 permutation for n < 2^31.
 
