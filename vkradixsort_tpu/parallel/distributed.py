@@ -293,8 +293,19 @@ def _idx_sort_merge(enc, gidx, values: Sequence[jnp.ndarray], interpret):
             merge._u32_signed((enc >> np.uint64(32)).astype(jnp.uint32)),
             merge._u32_signed((enc & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)),
         ]
+    from vkradixsort_tpu.engine.config import grain_for, segseed_for
+
     planes = kp + [gidx] + [v.view(jnp.int32) for v in values]
-    out = merge.sort_merge_planes(planes, len(kp) + 1, interpret=interpret)
+    # same measured tuning as the public stable-kv path: the local phase IS
+    # a stable multi-plane carry at per-shard scale
+    g = grain_for("merge", "kv", enc.shape[0])
+    out = merge.sort_merge_planes(
+        planes,
+        len(kp) + 1,
+        interpret=interpret,
+        segseed=segseed_for("kv", enc.shape[0]),
+        **({} if g is None else dict(tile_rows=max(g // merge.C, 2))),
+    )
     if enc.dtype == jnp.uint32:
         out_k = out[0].view(jnp.uint32) ^ np.uint32(0x80000000)
     else:
