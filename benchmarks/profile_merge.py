@@ -47,6 +47,11 @@ def main() -> None:
                     help="comma list of total plane counts to profile "
                          "(1 = keys-only u32, 2 = argsort, 3 = stable kv)")
     ap.add_argument("--seed", type=int, default=0xBE7C)
+    ap.add_argument("--segseed", default="0",
+                    help="tilesort segseed: 0/1 or a power-of-two width; env "
+                         "VKRS_MERGE_SEGSEED overrides (same resolution as "
+                         "the engine, so the tilesort COMPONENT row always "
+                         "measures the same seed the e2e row runs)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (dry runs; avoids probing a "
                          "possibly-down TPU tunnel)")
@@ -71,7 +76,12 @@ def main() -> None:
                               "0.25" if not interpret else "0.0"))
     n = int(args.n)
     rng = np.random.default_rng(args.seed)
-    log(f"devices: {jax.devices()}  n={n:,} interpret={interpret}")
+    # Resolve the seed ONCE, through the engine's own env/arg precedence:
+    # every component row below then measures the exact configuration the
+    # e2e row (and the session scripts' env-driven A/Bs) run.
+    iv = int(args.segseed)
+    seg = merge._env_segseed(bool(iv) if iv in (0, 1) else iv)
+    log(f"devices: {jax.devices()}  n={n:,} interpret={interpret} segseed={seg}")
 
     for nplanes in [int(x) for x in args.planes.split(",")]:
         G = args.tile_rows or merge._default_tile_rows(nplanes)
@@ -94,7 +104,9 @@ def main() -> None:
             return [x[i * _b : (i + 1) * _b].view(jnp.int32) for i in range(_np_)]
 
         def f_tilesort(x):
-            out = merge._tilesort_call(planes_of(x), nplanes, nck, G, interpret)
+            out = merge._tilesort_call(
+                planes_of(x), nplanes, nck, G, interpret, segseed=seg
+            )
             return jnp.concatenate([o.view(jnp.uint32) for o in out])
 
         def f_split(x):
@@ -122,16 +134,20 @@ def main() -> None:
         keys = jnp.asarray(rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
         if nplanes == 1:
             def f_e2e(k):
-                out, _ = merge.sort_merge(k, (), tile_rows=G, interpret=interpret)
+                out, _ = merge.sort_merge(
+                    k, (), tile_rows=G, interpret=interpret, segseed=seg
+                )
                 return out
         elif nplanes == 2:
             def f_e2e(k):
-                return merge.argsort_merge(k, tile_rows=G, interpret=interpret)
+                return merge.argsort_merge(
+                    k, tile_rows=G, interpret=interpret, segseed=seg
+                )
         else:
             def f_e2e(k):
                 ek, evs = merge.sort_merge(
                     k, (jnp.arange(k.shape[0], dtype=jnp.uint32),) * (nplanes - 2),
-                    tile_rows=G, interpret=interpret,
+                    tile_rows=G, interpret=interpret, segseed=seg,
                 )
                 return ek
         t_e2e = measure_seconds_per_call(jax.jit(f_e2e), keys, reps=2, min_window=mw)

@@ -121,7 +121,8 @@ def test_grain_table_lookup():
     # first matching row wins; beyond-table and unknown engines -> None
     assert grain_for("samplesort", "keys", 10**8) == 1 << 19
     assert grain_for("samplesort", "kv", 10**8) == 1 << 21
-    assert grain_for("merge", "keys", 10**8) == 128 * 2048
+    assert grain_for("merge", "keys", 10**8) == 1 << 17  # swept optimum
+    assert grain_for("merge", "keys", 10**6) == 1 << 15  # small-N valley
     assert grain_for("nosuch", "keys", 10) is None
     # every table entry is a positive power of two (or None = engine default)
     for eng, ops in GRAIN_TABLE.items():
@@ -168,7 +169,10 @@ def test_route_merge_envelope_fallback(monkeypatch):
     assert dispatch._route(dispatch.MERGE_MAX_N, CFG, None, op="kv", vals=(v4,)) == "merge"
     from vkradixsort_tpu.ops import merge as merge_mod
 
-    T = merge_mod._default_tile_rows(3) * merge_mod.C
+    # the boundary sits at the grain the router ACTUALLY uses — the
+    # GRAIN_TABLE kv row (falling back to the engine's VMEM default)
+    tr = dispatch._merge_tile_rows(CFG, "kv", dispatch.MERGE_MAX_N)
+    T = (tr or merge_mod._default_tile_rows(3)) * merge_mod.C
     exact_max = ((1 << 31) // 3) // T * T
     while 3 * (exact_max + T) < (1 << 31):  # robust to bound tweaks
         exact_max += T

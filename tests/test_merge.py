@@ -213,18 +213,45 @@ def test_argsort_merge_segseed(rng):
 def test_segseed_env_overrides_argument(rng, monkeypatch):
     # VKRS_MERGE_SEGSEED=0 forces the seed OFF even when the caller (or the
     # dispatcher's SEGSEED_TABLE default) asks for it — the A/B scripts in
-    # benchmarks/ rely on exactly this precedence
+    # benchmarks/ rely on exactly this precedence. A spy on _segsort_seed
+    # records whether the seed path actually ran (the sorted output alone
+    # is identical either way, so it cannot witness the precedence).
+    from vkradixsort_tpu.ops import merge as merge_mod
+
+    calls = []
+    real_seed = merge_mod._segsort_seed
+
+    def spy(planes, nck, width=None):
+        calls.append(width)
+        return real_seed(planes, nck, width=width)
+
+    monkeypatch.setattr(merge_mod, "_segsort_seed", spy)
     keys = make_keys(rng, 10_000, np.uint32, "zipf")
     monkeypatch.setenv("VKRS_MERGE_SEGSEED", "0")
     out0, _ = sort_merge(
         jnp.asarray(keys), tile_rows=2, interpret=INTERPRET, segseed=True
     )
+    assert calls == [], "env=0 must suppress the seed the argument asked for"
     monkeypatch.setenv("VKRS_MERGE_SEGSEED", "1")
     out1, _ = sort_merge(
         jnp.asarray(keys), tile_rows=2, interpret=INTERPRET, segseed=False
     )
+    assert len(calls) == 1, "env=1 must run the seed the argument declined"
     np.testing.assert_array_equal(np.asarray(out0), np.sort(keys))
     np.testing.assert_array_equal(np.asarray(out1), np.sort(keys))
+
+
+def test_segseed_env_rejects_bad_values(monkeypatch):
+    from vkradixsort_tpu.ops.merge import _env_segseed
+
+    for bad in ("yes", "2", "3000", "1.5"):
+        monkeypatch.setenv("VKRS_MERGE_SEGSEED", bad)
+        with pytest.raises(ValueError):
+            _env_segseed(False)
+    monkeypatch.setenv("VKRS_MERGE_SEGSEED", "4096")
+    assert _env_segseed(False) == 4096
+    monkeypatch.setenv("VKRS_MERGE_SEGSEED", "1")
+    assert _env_segseed(False) is True
 
 
 @pytest.mark.parametrize("width", [4096, 8192])

@@ -69,38 +69,44 @@ GRAIN_TABLE: dict = {
         "kv": [(float("inf"), 1 << 21)],
     },
     "merge": {
-        # G=128 rows (T=2^18) is the engine's analytic VMEM-budget default
-        # for one plane (ops/merge._default_tile_rows); kv shrinks with the
-        # plane count. Rows here override once benchmarks/grain_sweep.py
-        # --engine merge has swept the real chip (CSV lands in
-        # benchmarks/results/).
-        "keys": [(float("inf"), 128 * 2048)],
-        "kv": [(float("inf"), None)],  # None -> engine's VMEM-derived default
-        "argsort": [(float("inf"), None)],
+        # Swept on v5e (benchmarks/results/v5e_merge_grain*.csv, all points
+        # exactness-verified): keys valley is 2^15..2^16 at 1e6 (1.11 ms),
+        # 2^17 at 1e7 (13.22 ms) and at 1e8 (142.26 ms with the segseed,
+        # 150.42 without); kv optimum at 1e8 is 2^17 seeded (449.71 ms vs
+        # 460.53 at 2^16 and 490.08 at 2^18). argsort follows keys+pos
+        # (v5e_argsort_seg17.csv: 338.4 ms at 2^17 seeded).
+        "keys": [(2_000_000, 1 << 15), (float("inf"), 1 << 17)],
+        "kv": [(float("inf"), 1 << 17)],
+        "argsort": [(float("inf"), 1 << 17)],
     },
 }
 
 
 # Merge-engine tilesort seeding — whether the bitonic network's levels
-# 1..log2(2048) are replaced by ONE XLA batched width-2048 segment sort
-# (ops/merge._segsort_seed), per op and size. A/B-measured on v5e
-# (benchmarks/results/v5e_merge_grain_kv_segseed.csv and the r3b session):
-# the XLA pass wins when the tilesort is compute-bound (multi-plane kv),
-# rows are (max_n, bool), first row with n <= max_n wins.
+# 1..log2(width) are replaced by ONE XLA batched segment sort
+# (ops/merge._segsort_seed), per op and size. A/B-measured on v5e at 1e8,
+# grain 2^17 (benchmarks/results/v5e_merge_grain{,_kv}_segseed.csv, all
+# exactness-verified): the seed wins at 1e8 for every op — keys 142.26 ms
+# seeded vs 150.42 unseeded, kv 449.71 vs 474.23 (2^16 unseeded optimum),
+# argsort 338.4 seeded vs 340.6 on tiled. Below ~4e7 the merge engine is
+# not routed implicitly, so smaller rows stay at the unseeded default
+# pending measurement. Rows are (max_n, bool|int width), first row with
+# n <= max_n wins.
 SEGSEED_TABLE: dict = {
-    "keys": [(float("inf"), False)],
-    "kv": [(float("inf"), False)],
-    "argsort": [(float("inf"), False)],
+    "keys": [(40_000_000, False), (float("inf"), True)],
+    "kv": [(40_000_000, False), (float("inf"), True)],
+    "argsort": [(40_000_000, False), (float("inf"), True)],
 }
 
 
-def segseed_for(op: str, n: int) -> bool:
+def segseed_for(op: str, n: int):
     """Measured default for the merge engine's XLA tilesort seed at size
-    ``n`` (op is "keys" | "kv" | "argsort"). Env VKRS_MERGE_SEGSEED
-    overrides at trace time (ops/merge._env_segseed)."""
+    ``n`` (op is "keys" | "kv" | "argsort"): False/True, or an int seed
+    width (a power of two > 2048 — ops/merge._segsort_seed). Env
+    VKRS_MERGE_SEGSEED overrides at trace time (ops/merge._env_segseed)."""
     for max_n, seg in SEGSEED_TABLE.get(op, []):
         if n <= max_n:
-            return bool(seg)
+            return seg
     return False
 
 
@@ -119,10 +125,15 @@ ROUTE_TABLE: dict = {
     # the log-midpoint ~4e7 — the TPU analog of the reference's published
     # single-vs-multi regime split (reference README.md:11-22).
     "keys": [(40_000_000, "tiled"), (float("inf"), "merge")],
-    # kv (v5e_merge_vs_tiled_kv.csv): tiled wins at every measured size —
-    # 474.6 ms vs 519.8 ms at 1e8 (3-plane stable carry); merge rows land
-    # here only if the grain sweep / segseed A/B flip the 1e8 point.
-    "kv": [(float("inf"), "tiled")],
+    # kv: at the swept grain (2^17) + segseed, merge beats tiled's stable
+    # carry at 1e8 — 449.71 ms vs 474.6 (v5e_merge_grain_kv_segseed.csv) —
+    # and loses at 1e7 (45.9 vs 34.2, unswept default grain). The flip point
+    # here is conservative (only the 1e8 point is measured seeded); the
+    # crossover refines when the seeded 2e7..8e7 sweep lands.
+    "kv": [(80_000_000, "tiled"), (float("inf"), "merge")],
+    # argsort: merge (keys+pos 2-plane, seeded, 2^17) vs tiled packed-i64 at
+    # 1e8 is 338.4 vs 340.6 ms — inside run-to-run noise; tiled keeps the
+    # route (no x64 requirement flip) until a decisive margin is measured.
     "argsort": [(float("inf"), "tiled")],
     # Local phases of the distributed sort (parallel/distributed.py): "xla"
     # is the composite (key, position) lax.sort; "merge" runs the same total

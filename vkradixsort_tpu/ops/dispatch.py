@@ -234,9 +234,7 @@ def _merge_tile_rows(config: SortConfig, op: str, n: int) -> int | None:
     tile = config.tile
     if tile is None:
         tile = grain_for("merge", op, n)
-    if tile is None:
-        return None
-    return 1 << max(int(tile // merge.C).bit_length() - 1, 1)
+    return merge.grain_to_tile_rows(tile)
 
 
 def _only_one_payload(path: str, vals: tuple) -> None:

@@ -270,8 +270,21 @@ def _env_segseed(default):
     v = os.environ.get("VKRS_MERGE_SEGSEED")
     if v is None:
         return default
-    iv = int(v)
-    return bool(iv) if iv in (0, 1) else iv
+    try:
+        iv = int(v)
+    except ValueError:
+        raise ValueError(
+            f"VKRS_MERGE_SEGSEED={v!r}: expected 0, 1, or a power-of-two "
+            f"seed width >= {C}"
+        ) from None
+    if iv in (0, 1):
+        return bool(iv)
+    if iv < C or (iv & (iv - 1)) != 0:
+        raise ValueError(
+            f"VKRS_MERGE_SEGSEED={v!r}: seed width must be a power of two "
+            f">= {C} (lane width)"
+        )
+    return iv
 
 
 def _tilesort_call(planes, nplanes, nck, G, interpret, segseed=False):
@@ -284,7 +297,8 @@ def _tilesort_call(planes, nplanes, nck, G, interpret, segseed=False):
         # segseed=True seeds at the lane width C; an int seeds wider —
         # clamped to the tile (width T skips the Pallas tilesort entirely)
         w = C if segseed is True else min(int(segseed), T)
-        assert w >= C and (w & (w - 1)) == 0, "seed width: power of two >= C"
+        if w < C or (w & (w - 1)) != 0:  # real check: asserts vanish under -O
+            raise ValueError(f"segseed width must be a power of two >= {C}, got {segseed}")
         planes = _segsort_seed(planes, nck, width=w)
         wlog = int(np.log2(w))
         chunks = [
@@ -542,6 +556,16 @@ def _mergepath_call(planes, meta, nplanes, nck, G, interpret):
 
 # ---------------------------------------------------------------------------
 # driver
+
+
+def grain_to_tile_rows(grain: int | None) -> int | None:
+    """Convert a grain-table row (elements per tile — the NBPW-optima
+    analog, engine/config.GRAIN_TABLE) to the engine's ``tile_rows``
+    knob: VMEM rows of C elements, floored to a power of two >= 2 (the
+    network and split arithmetic require power-of-two tiles)."""
+    if grain is None:
+        return None
+    return 1 << max(int(grain // C).bit_length() - 1, 1)
 
 
 def fits_envelope(n: int, tile_rows: int | None = None, nplanes: int = 1) -> bool:

@@ -298,13 +298,13 @@ def _idx_sort_merge(enc, gidx, values: Sequence[jnp.ndarray], interpret):
     planes = kp + [gidx] + [v.view(jnp.int32) for v in values]
     # same measured tuning as the public stable-kv path: the local phase IS
     # a stable multi-plane carry at per-shard scale
-    g = grain_for("merge", "kv", enc.shape[0])
+    tr = merge.grain_to_tile_rows(grain_for("merge", "kv", enc.shape[0]))
     out = merge.sort_merge_planes(
         planes,
         len(kp) + 1,
         interpret=interpret,
         segseed=segseed_for("kv", enc.shape[0]),
-        **({} if g is None else dict(tile_rows=max(g // merge.C, 2))),
+        **({} if tr is None else dict(tile_rows=tr)),
     )
     if enc.dtype == jnp.uint32:
         out_k = out[0].view(jnp.uint32) ^ np.uint32(0x80000000)
@@ -334,11 +334,16 @@ def _pick_local_engine(local_engine, gdt, vals, n_chunk, n_sort_max, nck):
     (Pallas interpret mode off-TPU — the CPU-mesh test path)."""
     from vkradixsort_tpu.ops import merge
 
+    from vkradixsort_tpu.engine.config import grain_for
+
     nplanes = nck + 1 + len(vals)  # key planes + position carry + payloads
+    # the envelope binds at the LARGEST local sort, at the grain that sort
+    # would actually run (the GRAIN_TABLE row _idx_sort_merge picks there)
+    tr_max = merge.grain_to_tile_rows(grain_for("merge", "kv", n_sort_max))
     outside = (
         gdt != jnp.dtype(jnp.int32)
         or any(np.dtype(v.dtype).itemsize != 4 for v in vals)
-        or not merge.fits_envelope(n_sort_max, None, nplanes)
+        or not merge.fits_envelope(n_sort_max, tr_max, nplanes)
     )
     if local_engine is not None:
         if local_engine not in ("xla", "merge"):
