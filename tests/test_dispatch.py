@@ -169,6 +169,59 @@ def test_sort_pairs_unstable_packed(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(okd), np.sort(k)[::-1])
 
 
+def test_sort_pairs_unstable_packed_despite_merge_route(rng, monkeypatch):
+    # the stable-kv route flipping to the merge engine above 8e7 must NOT
+    # drag stable=False onto the slower stable composite: implicit routing
+    # keeps the packed-u64 direct i64 sort (341 ms vs 449 ms at 1e8 on v5e)
+    from vkradixsort_tpu.engine import config as cfgmod
+    from vkradixsort_tpu.ops import dispatch, segsort
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
+    monkeypatch.setitem(cfgmod.ROUTE_TABLE, "kv", [(float("inf"), "merge")])
+    calls = []
+    real = segsort.sort_flat
+    monkeypatch.setattr(
+        segsort, "sort_flat", lambda *a, **kw: (calls.append(1), real(*a, **kw))[1]
+    )
+    k = make_keys(rng, 30_000, np.uint32, "uniform") % 977
+    v = rng.standard_normal(k.size).astype(np.float32)
+    ok, ov = vk.sort_pairs(jnp.asarray(k), jnp.asarray(v), stable=False)
+    assert calls, "packed unstable fast path must fire despite the merge route"
+    np.testing.assert_array_equal(np.asarray(ok), np.sort(k))
+    pin = np.sort((k.astype(np.uint64) << 32) | v.view(np.uint32))
+    pout = np.sort(
+        (np.asarray(ok).astype(np.uint64) << 32) | np.asarray(ov).view(np.uint32)
+    )
+    np.testing.assert_array_equal(pin, pout)
+
+
+def test_segseed_table_width_flows_through_dispatch(rng, monkeypatch):
+    # SEGSEED_TABLE rows may hold an int seed WIDTH (not just on/off); the
+    # dispatcher must hand it to the engine unmodified so the measured
+    # width optima route (engine/config.segseed_for -> merge._segsort_seed)
+    from vkradixsort_tpu.engine import config as cfgmod
+    from vkradixsort_tpu.ops import dispatch, merge as merge_mod
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
+    monkeypatch.setitem(cfgmod.ROUTE_TABLE, "kv", [(float("inf"), "merge")])
+    monkeypatch.setitem(cfgmod.SEGSEED_TABLE, "kv", [(float("inf"), 8192)])
+    widths = []
+    real_seed = merge_mod._segsort_seed
+    monkeypatch.setattr(
+        merge_mod,
+        "_segsort_seed",
+        lambda planes, nck, width=None: (widths.append(width), real_seed(planes, nck, width=width))[1],
+    )
+    n = 40_000
+    k = make_keys(rng, n, np.uint32, "zipf")
+    v = np.arange(n, dtype=np.uint32)
+    ok, ov = vk.sort_pairs(jnp.asarray(k), jnp.asarray(v), config=CFG)
+    assert widths == [8192], f"table width must reach the seed, got {widths}"
+    perm = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok), k[perm])
+    np.testing.assert_array_equal(np.asarray(ov), perm.astype(np.uint32))
+
+
 def test_2d_inputs_route_to_segments(rng):
     # np.sort-style batched semantics: 2-D keys sort per row through the
     # segment engine from every public entry point.

@@ -331,7 +331,12 @@ def sort_pairs(
     if (
         not stable
         and not multi
-        and path == "tiled"
+        # implicit routing OR an explicitly-tiled call: the packed-u64
+        # direct i64 sort (341 ms at 1e8) beats BOTH the stable carry
+        # (474.6 ms) and the stable merge composite (448.6 ms), so the
+        # stable-route flip to merge above 8e7 must not drag the unstable
+        # path onto the slower stable engine (BENCHMARKS.md)
+        and (backend is None or path == "tiled")
         and jax.config.jax_enable_x64
         and sortable_dtype(keys.dtype) == jnp.dtype(jnp.uint32)
         and vals[0].dtype.itemsize == 4
