@@ -216,10 +216,17 @@ def test_dispatcher_consults_grain_table(rng, monkeypatch):
 def test_segseed_table_lookup():
     from vkradixsort_tpu.engine.config import SEGSEED_TABLE, segseed_for
 
-    # rows sorted, booleans only; unknown op -> False (pure-network default)
+    # rows sorted; values are booleans or power-of-two seed widths > 2048;
+    # unknown op -> False (pure-network default)
     assert segseed_for("nosuch_op", 10) is False
     for op, rows in SEGSEED_TABLE.items():
         assert rows == sorted(rows, key=lambda r: r[0]), op
         for max_n, seg in rows:
-            assert isinstance(seg, bool), (op, seg)
-        assert isinstance(segseed_for(op, 10**8), bool)
+            assert isinstance(seg, bool) or (
+                isinstance(seg, int) and seg > 2048 and (seg & (seg - 1)) == 0
+            ), (op, seg)
+    # the wide flag selects the 64-bit-key specialization where present,
+    # and falls back to the base rows where not
+    assert segseed_for("keys", 10**8) == 8192
+    assert segseed_for("keys", 10**8, wide=True) == 16384
+    assert segseed_for("kv", 10**8, wide=True) == segseed_for("kv", 10**8)

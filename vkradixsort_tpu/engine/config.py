@@ -92,19 +92,45 @@ GRAIN_TABLE: dict = {
 # not routed implicitly, so smaller rows stay at the unseeded default
 # pending measurement. Rows are (max_n, bool|int width), first row with
 # n <= max_n wins.
+# Width optima from the r4b sweep (v5e_{kv,keys,argsort,u64}_seedwidth.csv,
+# all exact at 1e8, grain 2^17): kv 425.5-425.7 ms at 16384/32768 (vs 449.7
+# at 2048, cliff to 497.4 at 65536); keys 139.1 ms at 8192 (142.26 at 2048,
+# 140.8 at 32768); argsort 319.0 ms at 16384 (338.4 at 2048); u64 keys
+# 319.9 ms at 16384 (340.4 at 2048).
+# Thresholds align with ROUTE_TABLE so every implicitly-routed merge call
+# runs the exact seeded configuration that was measured and exactness-
+# verified at its size. kv64 has no row: the "kv" fallback gives the same
+# measured values (unseeded at the 6e6..1.5e7 crossover points of
+# v5e_kv_u64keys_crossover.csv, width 16384 at 1e8 — 595.1 ms vs 633.9
+# unseeded, v5e_kv64_seedwidth.csv).
 SEGSEED_TABLE: dict = {
-    "keys": [(40_000_000, False), (float("inf"), True)],
-    "kv": [(40_000_000, False), (float("inf"), True)],
-    "argsort": [(40_000_000, False), (float("inf"), True)],
+    "keys": [(16_000_000, False), (float("inf"), 8192)],
+    "keys64": [(40_000_000, False), (float("inf"), 16384)],
+    "kv": [(15_000_000, False), (float("inf"), 16384)],
+    "argsort": [(30_000_000, False), (float("inf"), 16384)],
 }
 
 
-def segseed_for(op: str, n: int):
+def _op_rows(table: dict, op: str, wide: bool):
+    """Rows for ``op``, preferring the 64-bit-key specialization ("keys64",
+    "kv64", ...) when one is measured — wide keys ride TWO lexicographic
+    compare planes through the merge engine, so their optima and crossovers
+    differ from the 32-bit rows (e.g. the u64-key kv crossover sits far
+    below the u32 one: v5e_kv_u64keys.csv shows merge 1.92x at 1e8)."""
+    if wide:
+        rows = table.get(op + "64")
+        if rows is not None:
+            return rows
+    return table.get(op, [])
+
+
+def segseed_for(op: str, n: int, wide: bool = False):
     """Measured default for the merge engine's XLA tilesort seed at size
-    ``n`` (op is "keys" | "kv" | "argsort"): False/True, or an int seed
-    width (a power of two > 2048 — ops/merge._segsort_seed). Env
-    VKRS_MERGE_SEGSEED overrides at trace time (ops/merge._env_segseed)."""
-    for max_n, seg in SEGSEED_TABLE.get(op, []):
+    ``n`` (op is "keys" | "kv" | "argsort"; ``wide`` selects the 64-bit-key
+    rows): False/True, or an int seed width (a power of two > 2048 —
+    ops/merge._segsort_seed). Env VKRS_MERGE_SEGSEED overrides at trace
+    time (ops/merge._env_segseed)."""
+    for max_n, seg in _op_rows(SEGSEED_TABLE, op, wide):
         if n <= max_n:
             return seg
     return False
@@ -119,22 +145,37 @@ def segseed_for(op: str, n: int):
 # "tiled" when the call is outside the engine's envelope (see
 # ops/dispatch._route).
 ROUTE_TABLE: dict = {
-    # Measured on v5e (benchmarks/results/v5e_merge_vs_tiled_keys.csv): the
-    # merge engine beats XLA's flat sort at 1e8 u32 keys (148.5 ms vs
-    # 178.7 ms, 1.20x) and loses at 1.6e7 and below, so keys cross over at
-    # the log-midpoint ~4e7 — the TPU analog of the reference's published
-    # single-vs-multi regime split (reference README.md:11-22).
-    "keys": [(40_000_000, "tiled"), (float("inf"), "merge")],
-    # kv: at the swept grain (2^17) + segseed, merge beats tiled's stable
-    # carry at 1e8 — 449.71 ms vs 474.6 (v5e_merge_grain_kv_segseed.csv) —
-    # and loses at 1e7 (45.9 vs 34.2, unswept default grain). The flip point
-    # here is conservative (only the 1e8 point is measured seeded); the
-    # crossover refines when the seeded 2e7..8e7 sweep lands.
-    "kv": [(80_000_000, "tiled"), (float("inf"), "merge")],
-    # argsort: merge (keys+pos 2-plane, seeded, 2^17) vs tiled packed-i64 at
-    # 1e8 is 338.4 vs 340.6 ms — inside run-to-run noise; tiled keeps the
-    # route (no x64 requirement flip) until a decisive margin is measured.
-    "argsort": [(float("inf"), "tiled")],
+    # Measured on v5e: at the swept config (grain 2^17, seed width 8192)
+    # the merge engine beats XLA's flat sort from 2e7 up — 24.3 vs 29.2 ms
+    # at 2e7, 53.1 vs 66.0 at 4e7 (v5e_keys_crossover_w8192.csv), 139.1 vs
+    # 178.7 at 1e8 (v5e_keys_seedwidth.csv) — and tiled won the last point
+    # measured below (1.6e7: 17.5 vs 20.5, v5e_merge_vs_tiled_keys.csv).
+    # The TPU analog of the reference's published single-vs-multi regime
+    # split (reference README.md:11-22).
+    "keys": [(16_000_000, "tiled"), (float("inf"), "merge")],
+    # 64-bit keys-only: merge (2 lex planes, seed width 16384) wins 1e8 —
+    # 319.9 vs 339.9 ms (v5e_u64_seedwidth.csv; tie under Zipf skew,
+    # v5e_u64_zipf.csv) — but no seeded point below 1e8 is measured, so
+    # the flip stays at the round-3 4e7 boundary rather than inheriting
+    # the u32 one.
+    "keys64": [(40_000_000, "tiled"), (float("inf"), "merge")],
+    # kv: at the swept grain (2^17) + seed width 16384, merge beats tiled's
+    # stable carry from 2e7 up — 74.3 vs 78.8 ms at 2e7, 160.0 vs 176.8 at
+    # 4e7 (v5e_kv_crossover_w16384.csv), 425.7 vs 474.6 at 1e8
+    # (v5e_kv_seedwidth.csv); tiled still wins 1e7 (34.3 vs 38.0 at seed
+    # 2048 — the seeded-16384 1e7 point brackets the flip at ~1.5e7).
+    "kv": [(15_000_000, "tiled"), (float("inf"), "merge")],
+    # 64-bit-key kv: the XLA carry degrades super-linearly with the wide
+    # comparator while merge just adds a compare plane, so the crossover
+    # sits a decade lower (v5e_kv_u64keys_crossover.csv: tiled wins 4e6
+    # 19.2 vs 22.4 ms, merge wins 1e7 61.6 vs 86.0 — 1.4x — and 1e8 1.92x).
+    "kv64": [(6_000_000, "tiled"), (float("inf"), "merge")],
+    # argsort: merge (keys+pos 2-plane, grain 2^17, seed width 16384) wins
+    # 4e7 (120.1 vs 126.7 ms — v5e_argsort_crossover_w16384.csv) and 1e8
+    # (319.0 vs 340.6 — v5e_argsort_seedwidth.csv); tiled packed-i64 won
+    # the unseeded 1e7 point (24.8 vs 33.8). Merge also needs no x64 (the
+    # packed path does; without x64 tiled falls back to the 474 ms carry).
+    "argsort": [(30_000_000, "tiled"), (float("inf"), "merge")],
     # Local phases of the distributed sort (parallel/distributed.py): "xla"
     # is the composite (key, position) lax.sort; "merge" runs the same total
     # order through ops/merge. n here is the PER-SHARD chunk size. Rows flip
@@ -144,10 +185,10 @@ ROUTE_TABLE: dict = {
 }
 
 
-def route_for(op: str, n: int) -> str:
+def route_for(op: str, n: int, wide: bool = False) -> str:
     """Default engine for ``op`` ("keys" | "kv" | "argsort" | "dist_local")
-    at size ``n``."""
-    for max_n, eng in ROUTE_TABLE.get(op, []):
+    at size ``n``; ``wide`` selects the 64-bit-key rows where measured."""
+    for max_n, eng in _op_rows(ROUTE_TABLE, op, wide):
         if n <= max_n:
             return eng
     return "tiled"

@@ -80,6 +80,7 @@ def _route(
     backend: str | None,
     op: str = "keys",
     vals: tuple = (),
+    wide: bool = False,
 ) -> str:
     if backend is not None:
         if backend not in ENGINES:
@@ -87,14 +88,15 @@ def _route(
         return backend
     if not _on_tpu():
         return "reference"
-    path = route_for(op, n)
+    path = route_for(op, n, wide)
     if path == "merge":
         from vkradixsort_tpu.ops import merge
 
-        # payload planes: key + position carry + one plane per 4 payload
-        # bytes (8-byte payloads split into two planes)
-        nplanes = {"keys": 1, "argsort": 2}.get(
-            op, 2 + sum(v.dtype.itemsize // 4 for v in vals)
+        # plane count: key planes (two for 64-bit keys) + position carry
+        # + one plane per 4 payload bytes (8-byte payloads split in two)
+        kp = 2 if wide else 1
+        nplanes = {"keys": kp, "argsort": kp + 1}.get(
+            op, kp + 1 + sum(v.dtype.itemsize // 4 for v in vals)
         )
         tr = _merge_tile_rows(config, op, n)
         if any(v.dtype.itemsize not in (4, 8) for v in vals) or not (
@@ -144,7 +146,9 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
             vals,
             tile_rows=_merge_tile_rows(config, mop, enc.shape[0]),
             interpret=config.interpret,
-            segseed=segseed_for(mop, enc.shape[0]),
+            segseed=segseed_for(
+                mop, enc.shape[0], wide=enc.dtype == jnp.uint64
+            ),
         )
     if path == "bitonic":
         from vkradixsort_tpu.engine.context import default_context
@@ -278,7 +282,8 @@ def sort(
     if keys.ndim != 1:
         raise ValueError(f"sort expects 1-D or 2-D keys, got shape {keys.shape}")
     _check_f64_on_tpu(keys)
-    path = _route(keys.shape[0], config, backend, op="keys")
+    wide = sortable_dtype(keys.dtype) == jnp.dtype(jnp.uint64)
+    path = _route(keys.shape[0], config, backend, op="keys", wide=wide)
     enc = encode_keys(keys)
     if descending:
         enc = ~enc
@@ -327,7 +332,8 @@ def sort_pairs(
             f"{keys.shape} / {[v.shape for v in vals]}"
         )
     _check_f64_on_tpu(keys)
-    path = _route(keys.shape[0], config, backend, op="kv", vals=vals)
+    wide = sortable_dtype(keys.dtype) == jnp.dtype(jnp.uint64)
+    path = _route(keys.shape[0], config, backend, op="kv", vals=vals, wide=wide)
     if (
         not stable
         and not multi
@@ -391,7 +397,8 @@ def argsort(
     if keys.ndim != 1:
         raise ValueError(f"argsort expects 1-D or 2-D keys, got shape {keys.shape}")
     n = keys.shape[0]
-    path = _route(n, config, backend, op="argsort")
+    wide = sortable_dtype(keys.dtype) == jnp.dtype(jnp.uint64)
+    path = _route(n, config, backend, op="argsort", wide=wide)
     if (
         path == "tiled"
         and jax.config.jax_enable_x64
@@ -417,15 +424,16 @@ def argsort(
         # outside it falls through to sort_pairs, where the engine raises
         # its documented refusal; implicit routing never reaches here
         # outside the envelope — _route already falls back to tiled)
-        if merge.fits_envelope(n, tr, 2):
-            # 2-plane fast path: the position plane is both the stability
-            # carry AND the answer, so argsort costs one plane less than kv
+        if merge.fits_envelope(n, tr, 3 if wide else 2):
+            # position-plane fast path: the original-position compare plane
+            # that makes the network stable IS the answer, so argsort costs
+            # one plane less than the equivalent kv carry
             enc = encode_keys(keys)
             if descending:
                 enc = ~enc
             return merge.argsort_merge(
                 enc, tile_rows=tr, interpret=config.interpret,
-                segseed=segseed_for("argsort", n),
+                segseed=segseed_for("argsort", n, wide=wide),
             )
     idx_dtype = jnp.uint32 if n < (1 << 32) else jnp.uint64
     idx = jnp.arange(n, dtype=idx_dtype)

@@ -303,7 +303,7 @@ def _idx_sort_merge(enc, gidx, values: Sequence[jnp.ndarray], interpret):
         planes,
         len(kp) + 1,
         interpret=interpret,
-        segseed=segseed_for("kv", enc.shape[0]),
+        segseed=segseed_for("kv", enc.shape[0], wide=enc.dtype == jnp.uint64),
         **({} if tr is None else dict(tile_rows=tr)),
     )
     if enc.dtype == jnp.uint32:
