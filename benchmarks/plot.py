@@ -71,7 +71,9 @@ def main() -> None:
     # Older CSVs predate the `op` column; derive it from `kv` there.
     groups = collections.defaultdict(lambda: collections.defaultdict(list))
     for r in rows:
-        op = r.get("op") or ("kv" if r["kv"] == "1" else "keys")
+        if "engine" not in r or "tpu_ms" not in r:
+            continue  # other result CSVs (e.g. the scaling studies)
+        op = r.get("op") or ("kv" if r.get("kv") == "1" else "keys")
         key = (r["dtype"], op, r["distribution"])
         groups[key][r["engine"]].append((int(r["n"]), float(r["tpu_ms"])))
 

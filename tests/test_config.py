@@ -139,9 +139,9 @@ def test_route_table_lookup():
     assert route_for("keys", 10**8) in ENGINES
     assert route_for("nosuch_op", 10) == "tiled"  # safe default
     for op, rows in ROUTE_TABLE.items():
-        # the dist_local row names the distributed layer's local-phase
+        # the dist_local rows name the distributed layer's local-phase
         # engines, not dispatch engines (parallel/distributed.py)
-        valid = ("xla", "merge") if op == "dist_local" else ENGINES
+        valid = ("xla", "merge") if op.startswith("dist_local") else ENGINES
         assert rows == sorted(rows, key=lambda r: r[0]), op
         for _max_n, eng in rows:
             assert eng in valid, (op, eng)

@@ -178,10 +178,14 @@ ROUTE_TABLE: dict = {
     "argsort": [(30_000_000, "tiled"), (float("inf"), "merge")],
     # Local phases of the distributed sort (parallel/distributed.py): "xla"
     # is the composite (key, position) lax.sort; "merge" runs the same total
-    # order through ops/merge. n here is the PER-SHARD chunk size. Rows flip
-    # to "merge" wherever the real-chip sweep shows the same-total-order
-    # local sort winning (its regime is exactly the kv crossover).
-    "dist_local": [(float("inf"), "xla")],
+    # order through ops/merge. n here is the PER-SHARD chunk size, and the
+    # local sort IS the kv composite (key planes + gidx carry + payloads),
+    # so the rows inherit the measured kv crossovers: u32 keys flip at
+    # ~1.5e7/shard (v5e_kv_crossover_w16384.csv: tie at 1e7, merge 1.06x at
+    # 2e7), u64 keys at ~6e6/shard (v5e_kv_u64keys_crossover.csv: 1.40x at
+    # 1e7, 2.05x at 1e8).
+    "dist_local": [(15_000_000, "xla"), (float("inf"), "merge")],
+    "dist_local64": [(6_000_000, "xla"), (float("inf"), "merge")],
 }
 
 

@@ -367,7 +367,10 @@ def _pick_local_engine(local_engine, gdt, vals, n_chunk, n_sort_max, nck):
         return "xla"
     from vkradixsort_tpu.engine.config import route_for
 
-    return "merge" if route_for("dist_local", n_chunk) == "merge" else "xla"
+    # nck == 2 means two lexicographic key planes = 64-bit keys, whose
+    # measured crossover sits a decade lower (config "dist_local64" rows)
+    eng = route_for("dist_local", n_chunk, wide=nck == 2)
+    return "merge" if eng == "merge" else "xla"
 
 
 def _idx_sort(enc, gidx, values: Sequence[jnp.ndarray]):
