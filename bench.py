@@ -183,7 +183,7 @@ def main():
         uk, uv = jax.jit(fu)(keys, values)
         assert device_side_checks(vk, jnp, jax, keys, values, uk, uv)
         dtu = measure_pairs_seconds_per_call(fu, keys, values, reps=4)
-        log(f"1e8 u32 kv-pairs UNSTABLE (packed u64): {dtu*1e3:.2f} ms -> "
+        log(f"1e8 u32 kv-pairs UNSTABLE (routed): {dtu*1e3:.2f} ms -> "
             f"{n/dtu/1e6:.1f} M keys/s/chip")
     except Exception as e:  # diagnostics must never break the contract line
         log(f"unstable diagnostic skipped: {type(e).__name__}: {e}")

@@ -204,7 +204,22 @@ def main() -> None:
                 exact = out_k is None or bool(
                     np.array_equal(np.asarray(out_k), oracle)
                 )
-                if op != "keys":
+                if op == "kv_unstable":
+                    # any tie order is valid: verify sorted keys bitwise +
+                    # the (key, value) pair multiset, not the stable
+                    # permutation (which only the stable ops promise)
+                    got = out_v if isinstance(out_v, tuple) else (out_v,)
+                    vin = values if isinstance(values, tuple) else (values,)
+                    for v_in, v_out in zip(vin, got):
+                        cols_in = (np.asarray(v_in), k_np)
+                        cols_out = (np.asarray(v_out), np.asarray(out_k))
+                        oi = np.lexsort(cols_in)
+                        oo = np.lexsort(cols_out)
+                        exact = exact and all(
+                            bool(np.array_equal(ci[oi], co[oo]))
+                            for ci, co in zip(cols_in, cols_out)
+                        )
+                elif op != "keys":
                     perm = np.argsort(k_np, kind="stable")
                     if args.payload == "u64":
                         exp = perm.astype(np.uint64)

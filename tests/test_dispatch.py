@@ -195,6 +195,54 @@ def test_sort_pairs_unstable_packed_despite_merge_route(rng, monkeypatch):
     np.testing.assert_array_equal(pin, pout)
 
 
+def test_sort_pairs_unstable_merge_route(rng, monkeypatch):
+    # above the kv_unstable crossover the route drops the position plane
+    # and runs the 2-plane merge composite (253.8 ms vs packed's 341.8 at
+    # 1e8 on v5e): keys sorted, pair multiset preserved, packed path NOT
+    # taken, and the engine invoked WITHOUT the stability carry
+    from vkradixsort_tpu.engine import config as cfgmod
+    from vkradixsort_tpu.ops import dispatch, merge as merge_mod, segsort
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
+    monkeypatch.setitem(
+        cfgmod.ROUTE_TABLE, "kv_unstable", [(float("inf"), "merge")]
+    )
+    monkeypatch.setitem(cfgmod.SEGSEED_TABLE, "kv", [(float("inf"), False)])
+    packed_calls = []
+    real_flat = segsort.sort_flat
+    monkeypatch.setattr(
+        segsort, "sort_flat",
+        lambda *a, **kw: (packed_calls.append(1), real_flat(*a, **kw))[1],
+    )
+    seen_nck = []
+    real_planes = merge_mod.sort_merge_planes
+    def spy_planes(planes, nck, **kw):
+        seen_nck.append((len(planes), nck))
+        return real_planes(planes, nck, **kw)
+    monkeypatch.setattr(merge_mod, "sort_merge_planes", spy_planes)
+    n = 40_000
+    k = make_keys(rng, n, np.uint32, "zipf")  # heavy duplicates
+    v = np.arange(n, dtype=np.uint32)
+    ok, ov = vk.sort_pairs(jnp.asarray(k), jnp.asarray(v), config=CFG, stable=False)
+    assert not packed_calls, "merge route must bypass the packed path"
+    assert seen_nck == [(2, 1)], f"2 planes / 1 compare plane, got {seen_nck}"
+    ok, ov = np.asarray(ok), np.asarray(ov)
+    np.testing.assert_array_equal(ok, np.sort(k))
+    pin = np.sort((k.astype(np.uint64) << 32) | v.astype(np.uint64))
+    pout = np.sort((ok.astype(np.uint64) << 32) | ov.astype(np.uint64))
+    np.testing.assert_array_equal(pin, pout)
+
+    # multi-payload unstable rides the same route (no packed equivalent)
+    v2 = (~v).view(np.int32)
+    ok2, (ova, ovb) = vk.sort_pairs(
+        jnp.asarray(k), (jnp.asarray(v), jnp.asarray(v2)), config=CFG, stable=False
+    )
+    np.testing.assert_array_equal(np.asarray(ok2), np.sort(k))
+    np.testing.assert_array_equal(
+        np.asarray(ova), (~np.asarray(ovb).view(np.uint32)) & 0xFFFFFFFF
+    )
+
+
 def test_segseed_table_width_flows_through_dispatch(rng, monkeypatch):
     # SEGSEED_TABLE rows may hold an int seed WIDTH (not just on/off); the
     # dispatcher must hand it to the engine unmodified so the measured

@@ -170,6 +170,19 @@ ROUTE_TABLE: dict = {
     # sits a decade lower (v5e_kv_u64keys_crossover.csv: tiled wins 4e6
     # 19.2 vs 22.4 ms, merge wins 1e7 61.6 vs 86.0 — 1.4x — and 1e8 1.92x).
     "kv64": [(6_000_000, "tiled"), (float("inf"), "merge")],
+    # UNSTABLE kv: the relaxation drops the position compare plane, so the
+    # merge composite runs 2 planes (key + carried value). Measured vs the
+    # packed-u64 direct i64 sort (what "tiled" means here where eligible —
+    # dispatch.sort_pairs): merge wins 2e7 (44.4 vs 56.6 ms), 4e7 (96.6 vs
+    # 127.9) and 1e8 (253.7 vs 341.4 — 1.35x), all in
+    # v5e_kv_unstable_crossover.csv; packed's 463 M/s at 1.6e7 bounds the
+    # crossover from below, same ~1.5e7 flip as stable kv.
+    "kv_unstable": [(15_000_000, "tiled"), (float("inf"), "merge")],
+    # wide keys have no packed path (the pair would need 96 bits), so
+    # tiled-unstable IS the stable carry and the stable kv64 crossover
+    # bounds this flip from above (merge-unstable, one plane lighter than
+    # merge-stable, can only cross earlier)
+    "kv_unstable64": [(6_000_000, "tiled"), (float("inf"), "merge")],
     # argsort: merge (keys+pos 2-plane, grain 2^17, seed width 16384) wins
     # 4e7 (120.1 vs 126.7 ms — v5e_argsort_crossover_w16384.csv) and 1e8
     # (319.0 vs 340.6 — v5e_argsort_seedwidth.csv); tiled packed-i64 won

@@ -93,11 +93,15 @@ def _route(
         from vkradixsort_tpu.ops import merge
 
         # plane count: key planes (two for 64-bit keys) + position carry
-        # + one plane per 4 payload bytes (8-byte payloads split in two)
+        # (stable ops only) + one plane per 4 payload bytes (8-byte
+        # payloads split in two)
         kp = 2 if wide else 1
-        nplanes = {"keys": kp, "argsort": kp + 1}.get(
-            op, kp + 1 + sum(v.dtype.itemsize // 4 for v in vals)
-        )
+        vp = sum(v.dtype.itemsize // 4 for v in vals)
+        nplanes = {
+            "keys": kp,
+            "argsort": kp + 1,
+            "kv_unstable": kp + vp,
+        }.get(op, kp + 1 + vp)
         tr = _merge_tile_rows(config, op, n)
         if any(v.dtype.itemsize not in (4, 8) for v in vals) or not (
             # int32 plane positions + 3*npad split arithmetic, at the
@@ -124,14 +128,17 @@ def _check_f64_on_tpu(keys) -> None:
         )
 
 
-def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
+def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str, stable: bool = True):
     """Sort already-encoded unsigned keys via the selected engine.
 
     ``vals`` is a tuple of payload arrays riding along with the keys (empty
     for keys-only). Returns ``(sorted_keys, sorted_vals_tuple)``. Engines
     whose pipelines physically move a single payload plane (samplesort,
     radix_tiled, fused) accept at most one; the XLA-sort-backed engines
-    (tiled, bitonic, reference) carry any number.
+    (tiled, bitonic, reference) carry any number. ``stable=False`` is a
+    relaxation only the merge engine exploits (it drops the position
+    compare plane — 253.8 ms vs 425.2 stable at 1e8 kv on v5e); every
+    other engine's stable result is already a valid unstable answer.
     """
     if path == "tiled":
         from vkradixsort_tpu.ops import tiled
@@ -144,6 +151,7 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str):
         return merge.sort_merge(
             enc,
             vals,
+            stable=stable,
             tile_rows=_merge_tile_rows(config, mop, enc.shape[0]),
             interpret=config.interpret,
             segseed=segseed_for(
@@ -312,11 +320,14 @@ def sort_pairs(
     Returns ``(sorted_keys, values_like)`` with the same container shape.
 
     ``stable=False`` relaxes the tie order (any permutation of equal keys
-    is a valid result). For 32-bit-encoded keys with ONE 4-byte payload
-    plane under jax_enable_x64, the pair then packs into a single u64 for
-    the direct i64 sort, which beats the stable two-operand carry at every
-    measured size on v5e: 847 vs 647 M pairs/s at 1e6, 698 vs 516 at 4e6,
-    463 vs 329 at 1.6e7, 293 vs 211 at 1e8 (~1.3-1.4x). Ineligible
+    is a valid result) and routes through its own measured table
+    (ROUTE_TABLE["kv_unstable"]): above the crossover, the merge engine
+    runs WITHOUT the position compare plane (2 planes total — 253.8 ms =
+    394 M pairs/s at 1e8 on v5e, 1.68x the stable composite, no x64
+    needed, multi-payload capable); below it, 32-bit-encoded keys with
+    ONE 4-byte payload under jax_enable_x64 pack into a single u64 for
+    the direct i64 sort (847 vs 647 M pairs/s at 1e6, 698 vs 516 at 4e6,
+    463 vs 329 at 1.6e7 against the stable carry). Ineligible
     configurations simply run the stable path (also a valid unstable
     answer).
     """
@@ -333,16 +344,31 @@ def sort_pairs(
         )
     _check_f64_on_tpu(keys)
     wide = sortable_dtype(keys.dtype) == jnp.dtype(jnp.uint64)
-    path = _route(keys.shape[0], config, backend, op="kv", vals=vals, wide=wide)
+    # unstable calls route through their own measured table rows
+    # ("kv_unstable"): dropping the stability relaxation's position plane
+    # makes the merge composite 2 planes instead of 3 — 253.8 ms vs the
+    # packed-u64 path's 341.8 at 1e8 on v5e (BENCHMARKS.md)
+    path = _route(
+        keys.shape[0], config, backend,
+        op="kv" if stable else "kv_unstable", vals=vals, wide=wide,
+    )
+    if not stable and path == "merge":
+        enc = encode_keys(keys)
+        if descending:
+            enc = ~enc
+        out_k, out_vs = _sort_encoded(enc, vals, config, "merge", stable=False)
+        if descending:
+            out_k = ~out_k
+        return decode_keys(out_k, keys.dtype), (
+            type(values)(out_vs) if multi else out_vs[0]
+        )
     if (
         not stable
         and not multi
-        # implicit routing OR an explicitly-tiled call: the packed-u64
-        # direct i64 sort (341 ms at 1e8) beats BOTH the stable carry
-        # (474.6 ms) and the stable merge composite (448.6 ms), so the
-        # stable-route flip to merge above 8e7 must not drag the unstable
-        # path onto the slower stable engine (BENCHMARKS.md)
-        and (backend is None or path == "tiled")
+        # routed-tiled or explicitly-tiled below the merge crossover: the
+        # packed-u64 direct i64 sort (341 ms at 1e8, 1.3-1.4x the stable
+        # carry at every size) is the fastest non-merge unstable path
+        and path == "tiled"
         and jax.config.jax_enable_x64
         and sortable_dtype(keys.dtype) == jnp.dtype(jnp.uint32)
         and vals[0].dtype.itemsize == 4
