@@ -221,9 +221,9 @@ def test_segseed_env_overrides_argument(rng, monkeypatch):
     calls = []
     real_seed = merge_mod._segsort_seed
 
-    def spy(planes, nck, width=None):
+    def spy(planes, nck, width=None, stable=False):
         calls.append(width)
-        return real_seed(planes, nck, width=width)
+        return real_seed(planes, nck, width=width, stable=stable)
 
     monkeypatch.setattr(merge_mod, "_segsort_seed", spy)
     keys = make_keys(rng, 10_000, np.uint32, "zipf")
@@ -269,3 +269,73 @@ def test_sort_merge_segseed_width(rng, width):
     perm = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(out_k), keys[perm])
     np.testing.assert_array_equal(np.asarray(out_v), perm.astype(np.uint32))
+
+
+# --- synthetic tie-break (syn_tie): stable kv at 2-plane HBM cost ----------
+
+
+@pytest.mark.parametrize("n", [1, 2, 5000, 100_001])
+@pytest.mark.parametrize("seed", [False, True, 4096])
+def test_syn_tie_stable_kv_tie_heavy(rng, n, seed):
+    # stable=True now synthesizes the tie-break in VMEM (no position plane
+    # through HBM — merge.sort_merge_planes syn_tie). Keys from a tiny
+    # domain make nearly every element a tie, so any tie-order error is
+    # caught; seed=4096 == T skips the Pallas tilesort entirely (the seed
+    # must then be the STABLE batched sort + odd-tile reverse).
+    keys = rng.integers(0, 8, size=n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    out_k, (out_v,) = sort_merge(
+        jnp.asarray(keys), (jnp.asarray(vals),), tile_rows=2,
+        interpret=INTERPRET, segseed=seed,
+    )
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[perm])
+    np.testing.assert_array_equal(np.asarray(out_v), perm.astype(np.uint32))
+
+
+def test_syn_tie_planes_two_compare_planes(rng):
+    # plane-level: lexicographic (hi, lo) compare + syn tie-break + carry —
+    # the u64-key stable-kv geometry (3 HBM planes instead of 4)
+    n = 50_000
+    hi = rng.integers(0, 4, size=n).astype(np.int32)
+    lo = rng.integers(0, 4, size=n).astype(np.int32)
+    val = np.arange(n, dtype=np.int32)
+    out = sort_merge_planes(
+        [jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(val)], 2,
+        tile_rows=2, interpret=INTERPRET, syn_tie=True, segseed=True,
+    )
+    perm = np.lexsort((lo, hi))  # np.lexsort is stable
+    np.testing.assert_array_equal(np.asarray(out[0]), hi[perm])
+    np.testing.assert_array_equal(np.asarray(out[1]), lo[perm])
+    np.testing.assert_array_equal(np.asarray(out[2]), val[perm])
+
+
+def test_stable_pos_env_hatch(rng, monkeypatch):
+    # VKRS_MERGE_STABLE_POS=1 restores the round-3 carried-position-plane
+    # composite (the A/B baseline). Both modes must agree bitwise; a spy on
+    # sort_merge_planes proves the hatch actually adds the HBM plane.
+    from vkradixsort_tpu.ops import merge as merge_mod
+
+    seen = []
+    real = merge_mod.sort_merge_planes
+
+    def spy(planes, nck, **kw):
+        seen.append((len(planes), nck, kw.get("syn_tie", False)))
+        return real(planes, nck, **kw)
+
+    monkeypatch.setattr(merge_mod, "sort_merge_planes", spy)
+    n = 20_000
+    keys = rng.integers(0, 16, size=n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    out_syn = sort_merge(
+        jnp.asarray(keys), (jnp.asarray(vals),), tile_rows=2, interpret=INTERPRET
+    )
+    monkeypatch.setenv("VKRS_MERGE_STABLE_POS", "1")
+    out_pos = sort_merge(
+        jnp.asarray(keys), (jnp.asarray(vals),), tile_rows=2, interpret=INTERPRET
+    )
+    assert seen == [(2, 1, True), (3, 2, False)], seen
+    np.testing.assert_array_equal(np.asarray(out_syn[0]), np.asarray(out_pos[0]))
+    np.testing.assert_array_equal(
+        np.asarray(out_syn[1][0]), np.asarray(out_pos[1][0])
+    )

@@ -92,16 +92,21 @@ def _route(
     if path == "merge":
         from vkradixsort_tpu.ops import merge
 
-        # plane count: key planes (two for 64-bit keys) + position carry
-        # (stable ops only) + one plane per 4 payload bytes (8-byte
-        # payloads split in two)
+        # plane count: key planes (two for 64-bit keys) + one plane per 4
+        # payload bytes (8-byte payloads split in two). Stable kv no longer
+        # adds a position plane (the tie-break is synthesized in VMEM —
+        # merge.sort_merge_planes syn_tie) unless the A/B escape hatch
+        # forces the round-3 carried-plane composite.
+        import os
+
+        pos = 1 if os.environ.get("VKRS_MERGE_STABLE_POS") == "1" else 0
         kp = 2 if wide else 1
         vp = sum(v.dtype.itemsize // 4 for v in vals)
         nplanes = {
             "keys": kp,
             "argsort": kp + 1,
             "kv_unstable": kp + vp,
-        }.get(op, kp + 1 + vp)
+        }.get(op, kp + pos + vp)
         tr = _merge_tile_rows(config, op, n)
         if any(v.dtype.itemsize not in (4, 8) for v in vals) or not (
             # int32 plane positions + 3*npad split arithmetic, at the

@@ -193,7 +193,7 @@ def _net_level(planes, nck, G, flat, k, final_dir):
 # its multi-workgroup one: single_radixsort.comp:42-137 as the base case)
 
 
-def _tilesort_kernel(nplanes, nck, G, klo, khi, tlog, *refs):
+def _tilesort_kernel(nplanes, nck, G, klo, khi, tlog, syn_tie, *refs):
     ins = refs[:nplanes]
     outs = refs[nplanes:]
     planes = [r[:] for r in ins]
@@ -201,6 +201,21 @@ def _tilesort_kernel(nplanes, nck, G, klo, khi, tlog, *refs):
         jax.lax.broadcasted_iota(jnp.int32, (G, C), 0) * C
         + jax.lax.broadcasted_iota(jnp.int32, (G, C), 1)
     )
+    if syn_tie:
+        # Synthetic tie-break plane (costs ZERO HBM traffic — see
+        # sort_merge_planes): within the tile the stable order of equal
+        # keys IS their current position, except inside the network's
+        # DESCENDING 2^(klo-1)-blocks (odd block parity), where the
+        # previous chunk stored ties reversed — un-reverse with an XOR.
+        idx = flat.reshape(G * C)
+        if klo > 1:
+            bs1 = np.int32((1 << (klo - 1)) - 1)
+            desc = ((idx >> (klo - 1)) & 1) == 1
+            syn = jnp.where(desc, idx ^ bs1, idx)
+        else:
+            syn = idx
+        planes = planes[:nck] + [syn] + planes[nck:]
+        nck += 1
     # runs alternate ascending (even tiles) / descending (odd tiles) so the
     # merge ladder's rev(B) is a contiguous forward read (module docstring);
     # only the final level's direction differs between the two.
@@ -214,6 +229,8 @@ def _tilesort_kernel(nplanes, nck, G, klo, khi, tlog, *refs):
             1 << klog,
             final_dir=tile_dir if klog == tlog else None,
         )
+    if syn_tie:
+        planes = planes[: nck - 1] + planes[nck:]
     for o, p in zip(outs, planes):
         o[:] = p
 
@@ -240,7 +257,7 @@ def _tilesort_chunks(tlog):
     return chunks
 
 
-def _segsort_seed(planes, nck, width=None):
+def _segsort_seed(planes, nck, width=None, stable=False):
     """Seed the bitonic network's levels 1..width with ONE XLA batched
     segment sort: narrow rows sort at the chip's fastest measured regime
     (BENCHMARKS.md "primitive rates": 4981 M/s keys at width 2048, 3214 at
@@ -253,7 +270,10 @@ def _segsort_seed(planes, nck, width=None):
     measurements (SEGSEED_TABLE), not assumed."""
     w = C if width is None else int(width)
     rows2d = [p.reshape(-1, w) for p in planes]
-    out = jax.lax.sort(tuple(rows2d), dimension=1, num_keys=nck, is_stable=False)
+    # stable=True is the syn_tie mode's seed: equal keys keep row order, so
+    # the odd-row flip leaves them exactly reverse-stable — the invariant
+    # the synthetic tie-break plane reconstructs (sort_merge_planes)
+    out = jax.lax.sort(tuple(rows2d), dimension=1, num_keys=nck, is_stable=stable)
     ri = jax.lax.broadcasted_iota(jnp.int32, (rows2d[0].shape[0], 1), 0)
     odd = (ri & 1) == 1
     return [jnp.where(odd, o[:, ::-1], o).reshape(-1) for o in out]
@@ -287,7 +307,7 @@ def _env_segseed(default):
     return iv
 
 
-def _tilesort_call(planes, nplanes, nck, G, interpret, segseed=False):
+def _tilesort_call(planes, nplanes, nck, G, interpret, segseed=False, syn_tie=False):
     T = G * C
     tlog = int(np.log2(T))
     ntiles = planes[0].shape[0] // T
@@ -299,14 +319,16 @@ def _tilesort_call(planes, nplanes, nck, G, interpret, segseed=False):
         w = C if segseed is True else min(int(segseed), T)
         if w < C or (w & (w - 1)) != 0:  # real check: asserts vanish under -O
             raise ValueError(f"segseed width must be a power of two >= {C}, got {segseed}")
-        planes = _segsort_seed(planes, nck, width=w)
+        planes = _segsort_seed(planes, nck, width=w, stable=syn_tie)
         wlog = int(np.log2(w))
         chunks = [
             (max(klo, wlog + 1), khi) for klo, khi in chunks if khi > wlog
         ]
     for klo, khi in chunks:
         call = pl.pallas_call(
-            functools.partial(_tilesort_kernel, nplanes, nck, G, klo, khi, tlog),
+            functools.partial(
+                _tilesort_kernel, nplanes, nck, G, klo, khi, tlog, syn_tie
+            ),
             grid=(ntiles,),
             in_specs=[bs] * nplanes,
             out_specs=[bs] * nplanes,
@@ -418,7 +440,7 @@ def _align_window(w2d, s, G):
     return jnp.where(lane < C - s, r1, down)[:G]
 
 
-def _mergepath_kernel(nplanes, nck, G, ntiles, lookahead, meta_ref, *refs):
+def _mergepath_kernel(nplanes, nck, G, ntiles, lookahead, syn_tie, meta_ref, *refs):
     """One output tile per grid step, with cross-step DMA lookahead: while
     step t's 18-stage in-VMEM merge runs, step t+1's two windows are already
     streaming into the other scratch slot (scratch persists across the
@@ -512,15 +534,31 @@ def _mergepath_kernel(nplanes, nck, G, ntiles, lookahead, meta_ref, *refs):
         # A' ++ B-window stays bitonic with zero reversal stages.
         wb = _align_window(scr_b[i][slot_ds(slot)].reshape(G + 1, C), s_b, G)
         b_planes.append(jnp.where(flat >= T - b_rem, wb, sent).reshape(T))
+    if syn_tie:
+        # Synthetic tie-break plane, zero HBM traffic (sort_merge_planes):
+        # run A is ascending storage with ties in stable order, so its
+        # window position IS the tie rank; the B window is rev(B') — ties
+        # ascend as flat DESCENDS — and every B tie ranks after every A tie
+        # (A-priority, matching _level_splits' <= search). Invalid window
+        # positions rank last, exactly like the key sentinels.
+        syn_a = jnp.where(flat < a_rem, flat, _SENT).reshape(T)
+        syn_b = jnp.where(
+            flat >= T - b_rem, np.int32(2 * T - 1) - flat, _SENT
+        ).reshape(T)
+        a_planes = a_planes[:nck] + [syn_a] + a_planes[nck:]
+        b_planes = b_planes[:nck] + [syn_b] + b_planes[nck:]
+        nck += 1
     # bitonic lowest-half: lo = min(A', rev(B')) is the output tile's multiset
     le = _lex_le_i(a_planes, b_planes, nck) == 1
     lo = [jnp.where(le, a, b) for a, b in zip(a_planes, b_planes)]
     lo = _net_level(lo, nck, G, flat, T, final_dir=out_dir)
+    if syn_tie:
+        lo = lo[: nck - 1] + lo[nck:]
     for o, p in zip(outs, lo):
         o[:] = p
 
 
-def _mergepath_call(planes, meta, nplanes, nck, G, interpret):
+def _mergepath_call(planes, meta, nplanes, nck, G, interpret, syn_tie=False):
     import os
 
     T = G * C
@@ -543,7 +581,9 @@ def _mergepath_call(planes, meta, nplanes, nck, G, interpret):
         + [pltpu.SemaphoreType.DMA((2, 2 * nplanes))],
     )
     call = pl.pallas_call(
-        functools.partial(_mergepath_kernel, nplanes, nck, G, ntiles, lookahead),
+        functools.partial(
+            _mergepath_kernel, nplanes, nck, G, ntiles, lookahead, syn_tie
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(planes[0].shape, jnp.int32) for _ in range(nplanes)
@@ -586,6 +626,7 @@ def sort_merge_planes(
     tile_rows: int = 128,
     interpret: bool = False,
     segseed: bool | int = False,
+    syn_tie: bool = False,
 ):
     """Sort int32 planes lexicographically by the first ``nck`` planes.
 
@@ -596,6 +637,20 @@ def sort_merge_planes(
     tile_rows (G) is the grain knob — elements per VMEM tile is G*2048, the
     analog of the reference's NUM_BLOCKS_PER_WORKGROUP*WORKGROUP_SIZE
     (reference MultiRadixSort.cpp:12-17).
+
+    ``syn_tie=True`` makes the sort STABLE over the ``nck`` compare planes
+    without carrying an original-position plane through HBM: the tie-break
+    among equal keys is SYNTHESIZED in VMEM per kernel invocation. The
+    invariant that makes this sound: every run the ladder produces stores
+    equal keys in stable order (reverse-stable inside descending storage),
+    and stable order is then recoverable from pure window geometry —
+    position inside the tile (tilesort; XORed inside the network's
+    descending blocks), window position for A / reversed window position
+    offset by T for B (merge levels; _level_splits' ``<=`` search already
+    consumes A first on ties). The synthetic plane joins every lex compare
+    and compare-exchange but is dropped before each kernel writes — stable
+    kv at the HBM cost of the unstable 2-plane sort (the position plane was
+    ~1/3 of the stable composite's traffic at 1e8, BENCHMARKS.md).
     """
     G = int(tile_rows)
     assert G >= 2 and (G & (G - 1)) == 0, "tile_rows must be a power of two >= 2"
@@ -625,7 +680,9 @@ def sort_merge_planes(
     seg = _env_segseed(segseed)
 
     def run_kernels(work):
-        work = _tilesort_call(work, nplanes, nck, G, interpret, segseed=seg)
+        work = _tilesort_call(
+            work, nplanes, nck, G, interpret, segseed=seg, syn_tie=syn_tie
+        )
         ntiles_total = buflen // T
         nlev = max(int(np.ceil(np.log2(npad // T))), 0) if npad > T else 0
 
@@ -634,7 +691,10 @@ def sort_merge_planes(
             L = jnp.int32(T) << i
             meta = _level_splits(list(work_t), nck, L, T, npad, ntiles_total)
             return tuple(
-                _mergepath_call(list(work_t), meta, nplanes, nck, G, interpret)
+                _mergepath_call(
+                    list(work_t), meta, nplanes, nck, G, interpret,
+                    syn_tie=syn_tie,
+                )
             )
 
         if nlev:
@@ -701,9 +761,14 @@ def sort_merge(
     encoded keys and any number of 4- or 8-byte payload arrays; returns
     ``(sorted_enc, sorted_vals_tuple)``.
 
-    ``stable=True`` threads an original-position compare plane through the
-    kernels (ties resolve to input order); keys-only sorts never need it.
+    ``stable=True`` resolves ties to input order at the HBM cost of the
+    UNSTABLE sort: the tie-break is the synthetic in-VMEM plane of
+    :func:`sort_merge_planes` (``syn_tie``), not a carried position plane
+    (``VKRS_MERGE_STABLE_POS=1`` restores the round-3 position-plane
+    composite — the A/B baseline). Keys-only sorts never need either.
     """
+    import os
+
     n = enc.shape[0]
     if n >= (1 << 31):
         raise NotImplementedError("merge engine is bound to n < 2^31")
@@ -717,9 +782,13 @@ def sort_merge(
     else:
         raise TypeError(f"merge engine sorts encoded u32/u64 keys, got {enc.dtype}")
     nck = len(key_planes)
+    syn_tie = False
     if stable and vals:
-        key_planes.append(jnp.arange(n, dtype=jnp.int32))
-        nck += 1
+        if os.environ.get("VKRS_MERGE_STABLE_POS") == "1":
+            key_planes.append(jnp.arange(n, dtype=jnp.int32))
+            nck += 1
+        else:
+            syn_tie = True
     carry = []
     carry_spec = []  # how to reassemble each payload: (dtype, nplanes)
     for v in vals:
@@ -737,7 +806,7 @@ def sort_merge(
         tile_rows = _default_tile_rows(nck + len(carry))
     out = sort_merge_planes(
         key_planes + carry, nck, tile_rows=tile_rows, interpret=interpret,
-        segseed=segseed,
+        segseed=segseed, syn_tie=syn_tie,
     )
     if enc.dtype == jnp.uint32:
         out_enc = out[0].view(jnp.uint32) ^ np.uint32(0x80000000)
