@@ -141,9 +141,12 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str, stable: bool 
     whose pipelines physically move a single payload plane (samplesort,
     radix_tiled, fused) accept at most one; the XLA-sort-backed engines
     (tiled, bitonic, reference) carry any number. ``stable=False`` is a
-    relaxation only the merge engine exploits (it drops the position
-    compare plane — 253.8 ms vs 425.2 stable at 1e8 kv on v5e); every
-    other engine's stable result is already a valid unstable answer.
+    relaxation only the merge engine exploits: stable kv synthesizes its
+    tie-break plane in VMEM (merge.sort_merge_planes ``syn_tie`` — same
+    HBM traffic as unstable, one extra compare plane of VPU work per
+    stage), and the relaxation drops that synthetic plane — 254.0 ms vs
+    385.7 stable at 1e8 kv on v5e (BENCH_r04). Every other engine's
+    stable result is already a valid unstable answer.
     """
     if path == "tiled":
         from vkradixsort_tpu.ops import tiled
@@ -167,16 +170,23 @@ def _sort_encoded(enc, vals: tuple, config: SortConfig, path: str, stable: bool 
         from vkradixsort_tpu.engine.context import default_context
         from vkradixsort_tpu.ops import bitonic, segsort
 
-        # the whole padded array + working copies live in VMEM: with the
-        # kernel's ~4 resident planes of 4 bytes, the device budget caps N
-        # (64 MB VMEM on v5e -> 4M keys; the reference's analog bound is
-        # shared-memory sizing, single_radixsort.comp:30-38)
-        max_n = default_context().info.vmem_bytes // 16
+        # the whole padded array + working copies live in VMEM, so the
+        # device budget caps N PER RESIDENT PLANE: key planes (two for
+        # 64-bit keys), the position plane the network appends when payloads
+        # make it stable, and one plane per 4 payload bytes, each with ~4
+        # working copies of 4 bytes (the reference's analog bound is
+        # shared-memory sizing, single_radixsort.comp:30-38). 64 MB VMEM on
+        # v5e -> 4M keys-only, 1M u64-key kv.
+        kp = 2 if enc.dtype == jnp.uint64 else 1
+        vp = sum(v.dtype.itemsize // 4 for v in vals)
+        nplanes = kp + vp + (1 if vals else 0)  # vals imply stable (pos plane)
+        max_n = default_context().info.vmem_bytes // (16 * nplanes)
         if enc.shape[0] > max_n:
             raise ValueError(
-                "bitonic engine holds the whole (padded) array in VMEM and "
-                f"is bound to ~{max_n >> 20}M keys on this device; use the "
-                "'tiled' or 'merge' engines for larger arrays (BENCHMARKS.md)"
+                "bitonic engine holds the whole (padded) array in VMEM; at "
+                f"{nplanes} resident plane(s) this device is bound to "
+                f"~{max_n:,} keys; use the 'tiled' or 'merge' engines for "
+                "larger arrays (BENCHMARKS.md)"
             )
         s = segsort.to_signed_order(enc)
         out_s, out_v = bitonic.bitonic_sort_block(
@@ -327,9 +337,10 @@ def sort_pairs(
     ``stable=False`` relaxes the tie order (any permutation of equal keys
     is a valid result) and routes through its own measured table
     (ROUTE_TABLE["kv_unstable"]): above the crossover, the merge engine
-    runs WITHOUT the position compare plane (2 planes total — 253.8 ms =
-    394 M pairs/s at 1e8 on v5e, 1.68x the stable composite, no x64
-    needed, multi-payload capable); below it, 32-bit-encoded keys with
+    runs WITHOUT the synthetic tie-break plane stable kv carries in VMEM
+    (same HBM traffic, one less compare plane of VPU work — 254.0 ms =
+    394 M pairs/s vs 385.7 ms stable at 1e8 on v5e, no x64 needed,
+    multi-payload capable); below it, 32-bit-encoded keys with
     ONE 4-byte payload under jax_enable_x64 pack into a single u64 for
     the direct i64 sort (847 vs 647 M pairs/s at 1e6, 698 vs 516 at 4e6,
     463 vs 329 at 1.6e7 against the stable carry). Ineligible
@@ -350,9 +361,9 @@ def sort_pairs(
     _check_f64_on_tpu(keys)
     wide = sortable_dtype(keys.dtype) == jnp.dtype(jnp.uint64)
     # unstable calls route through their own measured table rows
-    # ("kv_unstable"): dropping the stability relaxation's position plane
-    # makes the merge composite 2 planes instead of 3 — 253.8 ms vs the
-    # packed-u64 path's 341.8 at 1e8 on v5e (BENCHMARKS.md)
+    # ("kv_unstable"): the relaxation drops the synthetic in-VMEM tie
+    # plane stable kv compares with — 254.0 ms vs the packed-u64 path's
+    # 341.8 at 1e8 on v5e (BENCHMARKS.md)
     path = _route(
         keys.shape[0], config, backend,
         op="kv" if stable else "kv_unstable", vals=vals, wide=wide,
@@ -482,7 +493,13 @@ def sort_segments(
 
     This is the hardware's sweet spot: TPU runs the per-segment networks
     lockstep across rows entirely in VMEM — measured ~5 G keys/s at segment
-    width 2048 on v5e, ~9x the flat large-N rate (BENCHMARKS.md). The
+    width 2048 on v5e, ~9x the flat large-N rate (BENCHMARKS.md). The rate
+    is a REGIME, not a constant: it falls with row width as the lockstep
+    networks leave VMEM — 3.2 G/s at width 16k, ~1 G/s at 195k, 845 M/s at
+    1.5M (BENCHMARKS.md primitive table) — converging on the flat XLA sort
+    rate. Rows stay on one ``lax.sort`` here at every width: a per-row merge
+    route would pay an extra compare plane (~310 M/s — the measured 2-plane
+    rate) and loses to the batched sort at every measured width. The
     reference has no segmented entry point; it falls naturally out of the
     TPU-first design and is the building block the distributed shuffle and
     samplesort stages use internally.

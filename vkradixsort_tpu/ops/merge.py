@@ -731,11 +731,12 @@ def _u32_signed(x32):
 
 
 def _default_tile_rows(nplanes: int) -> int:
-    # VMEM budget: the mergepath kernel holds 2*nplanes scratch window
-    # buffers of (2, T+C) i32 each (the leading 2 is the cross-step DMA
-    # lookahead slot parity) plus nplanes output blocks of T (double-
-    # buffered by the pipeline) — ~24*nplanes*T bytes total. Keep that
-    # under the kernel's 100 MB vmem_limit with headroom.
+    # VMEM budget: the mergepath kernel holds 2*nplanes flat scratch window
+    # buffers of 2*(T+C) i32 each (the slot PAIR for the cross-step DMA
+    # lookahead lives flat in one 1-D buffer — _mergepath_kernel) plus
+    # nplanes output blocks of T (double-buffered by the pipeline) —
+    # ~24*nplanes*T bytes total. Keep that under the kernel's 100 MB
+    # vmem_limit with headroom.
     # G=128 (T=256k) measured best for 1 plane on v5e; shrink with planes.
     g = 128
     while g > 8 and nplanes * g * C * 4 * 6 >= 96 * 2**20:
