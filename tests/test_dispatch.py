@@ -65,8 +65,12 @@ def test_bitonic_vmem_bound_raises():
 def test_bitonic_vmem_bound_is_plane_aware():
     # u64-key kv = 2 key planes + position plane + payload plane: 4x the
     # keys-only residency, so the guard must trip at 1/4 the keys-only
-    # bound rather than dying in Mosaic (VERDICT r4 weak #5)
-    n = 1 << 19  # above 16MB/64B=256k (CPU table), below the keys-only 1M
+    # bound rather than dying in Mosaic (VERDICT r4 weak #5). Derive n
+    # from the attached device's budget (16 MB CPU table / 64 MB v5e).
+    from vkradixsort_tpu.engine.context import default_context
+
+    kv64_bound = default_context().info.vmem_bytes // (16 * 4)
+    n = 2 * kv64_bound  # over the 4-plane bound, under the keys-only one
     k = jnp.zeros((n,), jnp.uint64)
     v = jnp.zeros((n,), jnp.uint32)
     with pytest.raises(ValueError, match="VMEM"):
