@@ -196,6 +196,55 @@ def test_sort_merge_segseed_stable_kv(rng):
     np.testing.assert_array_equal(np.asarray(out_v), perm.astype(np.uint32))
 
 
+@pytest.mark.parametrize("impl", ["stable", "iota", "packed"])
+def test_seed_impls_bitwise_identical(rng, impl, monkeypatch):
+    # the three stable-seed implementations (is_stable / explicit iota tie
+    # plane / packed-u64 comparator) must produce the SAME stable result
+    # bitwise — they are priced against each other on hardware
+    # (benchmarks/seed_probe.py) and the default ships the cheapest
+    monkeypatch.setenv("VKRS_MERGE_SEED_IMPL", impl)
+    n = 30_000
+    keys = rng.integers(0, 7, size=n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    out_k, (out_v,) = sort_merge(
+        jnp.asarray(keys), (jnp.asarray(vals),), tile_rows=2,
+        interpret=INTERPRET, segseed=4096,
+    )
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[perm])
+    np.testing.assert_array_equal(np.asarray(out_v), perm.astype(np.uint32))
+
+
+def test_seed_impl_packed_rejects_wide_keys(rng, monkeypatch):
+    # u64 keys ride two compare planes; the packed seed has no room for
+    # them in its u64 comparator and must refuse loudly rather than sort
+    # by the high plane only
+    monkeypatch.setenv("VKRS_MERGE_SEED_IMPL", "packed")
+    n = 20_000
+    keys = rng.integers(0, 7, size=n, dtype=np.uint64)
+    vals = np.arange(n, dtype=np.uint32)
+    with pytest.raises(ValueError, match="packed"):
+        sort_merge(
+            jnp.asarray(keys), (jnp.asarray(vals),), tile_rows=2,
+            interpret=INTERPRET, segseed=4096,
+        )
+
+
+def test_seed_impl_iota_wide_keys_stable(rng, monkeypatch):
+    # the iota tie plane composes with multi-plane (u64) compare keys
+    monkeypatch.setenv("VKRS_MERGE_SEED_IMPL", "iota")
+    n = 20_000
+    keys = rng.integers(0, 7, size=n, dtype=np.uint64)
+    vals = np.arange(n, dtype=np.uint32)
+    out_k, (out_v,) = sort_merge(
+        jnp.asarray(keys), (jnp.asarray(vals),), tile_rows=2,
+        interpret=INTERPRET, segseed=4096,
+    )
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[perm])
+    np.testing.assert_array_equal(np.asarray(out_v), perm.astype(np.uint32))
+
+
 def test_argsort_merge_segseed(rng):
     from vkradixsort_tpu.ops.merge import argsort_merge
 

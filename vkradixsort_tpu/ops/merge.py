@@ -257,6 +257,80 @@ def _tilesort_chunks(tlog):
     return chunks
 
 
+def _stable_seed_sort(rows2d, nck):
+    """Row-stable batched sort of ``rows2d`` (first nck planes compare):
+    equal keys keep row order. Three bitwise-identical implementations —
+    the r5 profiler attributed ~40% of the stable-kv e2e to the tilesort
+    (4% of HBM bandwidth: pure comparator compute), so the seed ships the
+    cheapest one the tracing context allows:
+
+      * "packed" — (key << ceil(log2 w)) | row_pos as ONE u64 comparator,
+        unstable: stability by construction, one compare plane. Single
+        32-bit compare planes only, and ONLY under jax_enable_x64: lax
+        canonicalizes explicitly-requested 64-bit dtypes under x64-off —
+        broadcasted_iota(uint64) silently truncates to uint32, which would
+        shift the key's high bits away. sort_merge_planes hoists the seed
+        OUT of its Pallas x64-off tracing context so the caller's real
+        x64 state governs here.
+      * "iota"   — explicit row-iota tie plane, num_keys=nck+1, unstable:
+        materializes what is_stable synthesizes; works everywhere.
+      * "stable" — is_stable=True (the round-4 baseline).
+
+    Env VKRS_MERGE_SEED_IMPL forces one (trace-time A/B, like the other
+    merge hatches); default is the measured-best eligible variant
+    (benchmarks/seed_probe.py session CSVs).
+    """
+    import os
+
+    impl = os.environ.get("VKRS_MERGE_SEED_IMPL", "auto")
+    if impl not in ("auto", "packed", "iota", "stable"):
+        raise ValueError(
+            f"VKRS_MERGE_SEED_IMPL={impl!r}: pick packed, iota, or stable"
+        )
+    w = rows2d[0].shape[1]
+    packed_ok = nck == 1 and jax.config.jax_enable_x64
+    if impl == "packed" and not packed_ok:
+        raise ValueError(
+            "VKRS_MERGE_SEED_IMPL=packed packs a single 32-bit compare "
+            "plane into a u64 comparator and needs jax_enable_x64 (under "
+            "x64-off, lax truncates the u64 iota to u32 and the pack would "
+            f"drop key bits); got nck={nck}, "
+            f"x64={jax.config.jax_enable_x64} — use iota or stable"
+        )
+    if impl == "auto":
+        impl = "packed" if packed_ok else "iota"
+    if impl == "packed":
+        wlog = int(np.ceil(np.log2(w)))
+        ri = jax.lax.broadcasted_iota(jnp.uint64, rows2d[0].shape, 1)
+        kb = jax.lax.bitcast_convert_type(
+            rows2d[0], jnp.uint32
+        ) ^ np.uint32(0x80000000)
+        k64 = jax.lax.convert_element_type(kb, jnp.uint64)
+        p = jax.lax.shift_left(k64, jax.lax.full_like(k64, wlog)) | ri
+        out = jax.lax.sort(
+            (p,) + tuple(rows2d[1:]), dimension=1, num_keys=1, is_stable=False
+        )
+        kd = jax.lax.bitcast_convert_type(
+            jax.lax.convert_element_type(
+                jax.lax.shift_right_logical(
+                    out[0], jax.lax.full_like(out[0], wlog)
+                ),
+                jnp.uint32,
+            )
+            ^ np.uint32(0x80000000),
+            jnp.int32,
+        )
+        return (kd,) + out[1:]
+    if impl == "iota":
+        ri = jax.lax.broadcasted_iota(jnp.int32, rows2d[0].shape, 1)
+        out = jax.lax.sort(
+            tuple(rows2d[:nck]) + (ri,) + tuple(rows2d[nck:]),
+            dimension=1, num_keys=nck + 1, is_stable=False,
+        )
+        return out[:nck] + out[nck + 1:]
+    return jax.lax.sort(tuple(rows2d), dimension=1, num_keys=nck, is_stable=True)
+
+
 def _segsort_seed(planes, nck, width=None, stable=False):
     """Seed the bitonic network's levels 1..width with ONE XLA batched
     segment sort: narrow rows sort at the chip's fastest measured regime
@@ -273,7 +347,10 @@ def _segsort_seed(planes, nck, width=None, stable=False):
     # stable=True is the syn_tie mode's seed: equal keys keep row order, so
     # the odd-row flip leaves them exactly reverse-stable — the invariant
     # the synthetic tie-break plane reconstructs (sort_merge_planes)
-    out = jax.lax.sort(tuple(rows2d), dimension=1, num_keys=nck, is_stable=stable)
+    if stable:
+        out = _stable_seed_sort(rows2d, nck)
+    else:
+        out = jax.lax.sort(tuple(rows2d), dimension=1, num_keys=nck, is_stable=False)
     ri = jax.lax.broadcasted_iota(jnp.int32, (rows2d[0].shape[0], 1), 0)
     odd = (ri & 1) == 1
     return [jnp.where(odd, o[:, ::-1], o).reshape(-1) for o in out]
@@ -307,19 +384,35 @@ def _env_segseed(default):
     return iv
 
 
-def _tilesort_call(planes, nplanes, nck, G, interpret, segseed=False, syn_tie=False):
+def _seed_width(segseed, T) -> int:
+    """Validated seed width: segseed=True seeds at the lane width C; an int
+    seeds wider — clamped to the tile (width T skips the Pallas tilesort
+    entirely)."""
+    w = C if segseed is True else min(int(segseed), T)
+    if w < C or (w & (w - 1)) != 0:  # real check: asserts vanish under -O
+        raise ValueError(
+            f"segseed width must be a power of two >= {C}, got {segseed}"
+        )
+    return w
+
+
+def _tilesort_call(
+    planes, nplanes, nck, G, interpret, segseed=False, syn_tie=False,
+    apply_seed=True,
+):
     T = G * C
     tlog = int(np.log2(T))
     ntiles = planes[0].shape[0] // T
     bs = pl.BlockSpec((T,), lambda t: (t,))
     chunks = _tilesort_chunks(tlog)
     if segseed:
-        # segseed=True seeds at the lane width C; an int seeds wider —
-        # clamped to the tile (width T skips the Pallas tilesort entirely)
-        w = C if segseed is True else min(int(segseed), T)
-        if w < C or (w & (w - 1)) != 0:  # real check: asserts vanish under -O
-            raise ValueError(f"segseed width must be a power of two >= {C}, got {segseed}")
-        planes = _segsort_seed(planes, nck, width=w, stable=syn_tie)
+        w = _seed_width(segseed, T)
+        if apply_seed:
+            # apply_seed=False means the caller already seeded (the engine
+            # hoists the XLA seed out of its Pallas x64-off tracing
+            # context — sort_merge_planes) and this call only trims the
+            # network levels the seed replaced
+            planes = _segsort_seed(planes, nck, width=w, stable=syn_tie)
         wlog = int(np.log2(w))
         chunks = [
             (max(klo, wlog + 1), khi) for klo, khi in chunks if khi > wlog
@@ -678,10 +771,19 @@ def sort_merge_planes(
         )
 
     seg = _env_segseed(segseed)
+    if seg:
+        # the XLA seed runs OUTSIDE the x64-off Pallas tracing context
+        # below: it is plain XLA (no Mosaic 4-byte constraint), and the
+        # packed-u64 seed impl must see the caller's real x64 state
+        # (_stable_seed_sort — under x64-off lax would truncate its u64s)
+        work = _segsort_seed(
+            work, nck, width=_seed_width(seg, T), stable=syn_tie
+        )
 
     def run_kernels(work):
         work = _tilesort_call(
-            work, nplanes, nck, G, interpret, segseed=seg, syn_tie=syn_tie
+            work, nplanes, nck, G, interpret, segseed=seg, syn_tie=syn_tie,
+            apply_seed=False,
         )
         ntiles_total = buflen // T
         nlev = max(int(np.ceil(np.log2(npad // T))), 0) if npad > T else 0
