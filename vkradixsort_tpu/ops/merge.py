@@ -277,8 +277,13 @@ def _stable_seed_sort(rows2d, nck):
       * "stable" — is_stable=True (the round-4 baseline).
 
     Env VKRS_MERGE_SEED_IMPL forces one (trace-time A/B, like the other
-    merge hatches); default is the measured-best eligible variant
-    (benchmarks/seed_probe.py session CSVs).
+    merge hatches); default is "iota" — the r5b hardware session measured
+    the three within noise standalone (w=16384 at 1e8: iota 82.4 ms,
+    stable 82.9, packed 87.2 — benchmarks/seed_probe.py) and e2e (384.7 vs
+    385.7 ms stable-kv under x64), with iota the consistent slight winner,
+    and the packed e2e run DIED on the real chip (TPU FailedPrecondition
+    at 1e8, r5b step 2_kv_e2e_packed) — so auto never selects packed; it
+    stays env-forcible for study only.
     """
     import os
 
@@ -287,7 +292,6 @@ def _stable_seed_sort(rows2d, nck):
         raise ValueError(
             f"VKRS_MERGE_SEED_IMPL={impl!r}: pick packed, iota, or stable"
         )
-    w = rows2d[0].shape[1]
     packed_ok = nck == 1 and jax.config.jax_enable_x64
     if impl == "packed" and not packed_ok:
         raise ValueError(
@@ -298,9 +302,9 @@ def _stable_seed_sort(rows2d, nck):
             f"x64={jax.config.jax_enable_x64} — use iota or stable"
         )
     if impl == "auto":
-        impl = "packed" if packed_ok else "iota"
+        impl = "iota"
     if impl == "packed":
-        wlog = int(np.ceil(np.log2(w)))
+        wlog = int(np.ceil(np.log2(rows2d[0].shape[1])))
         ri = jax.lax.broadcasted_iota(jnp.uint64, rows2d[0].shape, 1)
         kb = jax.lax.bitcast_convert_type(
             rows2d[0], jnp.uint32
