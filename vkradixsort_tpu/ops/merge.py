@@ -137,6 +137,42 @@ def _row_stage(planes, nck, G, dr, asc_nb):
     ]
 
 
+def _mid_stage(planes, nck, G, d, k, final_dir):
+    """Compare-exchange at lane distance d for 128 <= d <= C/2, roll-free.
+
+    The r5b stage bench (benchmarks/stage_bench.py, v5e) priced a roll-based
+    lane stage at 27-60x a reshape-based row stage — the two ``pltpu.roll``s
+    per plane dominate. For d >= 128 the exchange partners are whole
+    128-lane granules, so the same reshape trick the row stages use applies
+    INSIDE the lane dimension: view (G, C) as (G, C/(2d), 2, d) and
+    lex-min/max the axis-2 halves — pure aligned selects, no shuffles.
+    Below 128 the partners cross lanes within a granule and the roll form
+    stays (_lane_stage).
+
+    The direction mask is constant per 2d-block: block (g, b) starts at
+    flat = g*C + b*2d, and the network rule reads only bits >= log2(k) >
+    log2(2d) of flat, so it broadcasts as (G, C/(2d), 1, 1).
+    """
+    nb2 = C // (2 * d)
+    rs = [p.reshape(G, nb2, 2, d) for p in planes]
+    us = [r[:, :, 0] for r in rs]
+    vs = [r[:, :, 1] for r in rs]
+    if final_dir is None:
+        gi = jax.lax.broadcasted_iota(jnp.int32, (G, nb2, 1), 0)
+        bi = jax.lax.broadcasted_iota(jnp.int32, (G, nb2, 1), 1)
+        asc = jnp.where(((gi * C + bi * (2 * d)) & k) == 0, 1, 0)
+    else:
+        asc = final_dir
+    le = _lex_le_i(us, vs, nck)
+    first_is_u = jnp.where(asc == 1, le, 1 - le) == 1
+    firsts = [jnp.where(first_is_u, u, v) for u, v in zip(us, vs)]
+    seconds = [jnp.where(first_is_u, v, u) for u, v in zip(us, vs)]
+    return [
+        jnp.concatenate([f[:, :, None], s[:, :, None]], axis=2).reshape(G * C)
+        for f, s in zip(firsts, seconds)
+    ]
+
+
 def _lane_stage(planes, nck, G, flat, d, asc):
     """Compare-exchange at lane distance d (static, <= C/2).
 
@@ -158,6 +194,18 @@ def _lane_stage(planes, nck, G, flat, d, asc):
     ]
 
 
+def _midstage_on() -> bool:
+    """Trace-time A/B hatch for the roll-free mid stages (d in [128, C/2]).
+
+    Default ON: the r5b stage bench measured the roll-based lane stage at
+    27-60x the reshape-based row stage, and the mid-stage form removes the
+    rolls for the 4 granule-aligned distances; VKRS_MERGE_MIDSTAGE=0
+    restores the all-roll schedule (the measured round-4 baseline)."""
+    import os
+
+    return os.environ.get("VKRS_MERGE_MIDSTAGE", "1") != "0"
+
+
 def _net_level(planes, nck, G, flat, k, final_dir):
     """All stages of bitonic level ``k`` (element distances k/2 .. 1).
 
@@ -167,6 +215,7 @@ def _net_level(planes, nck, G, flat, k, final_dir):
     the last sort level and the lowest-half merge, whose output direction
     alternates per run (module docstring).
     """
+    mid = _midstage_on()
     d = k >> 1
     while d >= C:
         dr = d // C
@@ -177,6 +226,9 @@ def _net_level(planes, nck, G, flat, k, final_dir):
         else:
             asc = final_dir
         planes = _row_stage(planes, nck, G, dr, asc)
+        d >>= 1
+    while d >= 128 and mid:
+        planes = _mid_stage(planes, nck, G, d, k, final_dir)
         d >>= 1
     while d >= 1:
         asc = (
