@@ -117,6 +117,20 @@ def main() -> None:
     log(f"devices: {jax.devices()}  engines={engines} sizes={sizes} "
         f"dist={args.distribution} op={op}")
 
+    def _multiset_ok(jnp, np, a_in, a_out):
+        """Device-side multiset equality of two same-dtype arrays via a
+        4096-bin histogram of mixed u32 bit views (bench.py's gate)."""
+        def mix(x):
+            x = x ^ (x >> np.uint32(16))
+            x = x * np.uint32(0x7FEB352D)
+            return x ^ (x >> np.uint32(15))
+
+        def hist(x):
+            b = x.view(jnp.uint32) if x.dtype != jnp.uint32 else x
+            return jnp.bincount(mix(b) >> np.uint32(20), length=4096)
+
+        return bool(jnp.all(hist(a_in) == hist(a_out)))
+
     def append_row(row):
         # flushed per point, not at exit: a step timeout mid-sweep keeps
         # every already-measured row (compiles dominate the cost of redoing)
@@ -234,13 +248,30 @@ def main() -> None:
                         for g, w in zip(got, want)
                     )
             elif op == "argsort":
-                # sampled: keys gathered through the permutation must ascend
+                # sampled: keys gathered through the permutation must ascend;
+                # plus the device-side multiset check — the permutation's
+                # value multiset must be exactly arange
                 pv = np.asarray(out_v[:: max(n // 1_000_000, 1)]).astype(np.int64)
                 o = k_np[pv]
                 exact = bool((o[1:] >= o[:-1]).all())
+                exact = exact and _multiset_ok(jnp, np, jnp.arange(
+                    n, dtype=out_v.dtype), out_v)
             else:
                 o = np.asarray(out_k[:: max(n // 1_000_000, 1)])
                 exact = bool((o[1:] >= o[:-1]).all())  # sampled sortedness
+                # Device-side key-multiset histogram: sampled sortedness
+                # alone passed a sorted-but-corrupted key plane in r5 (the
+                # x64-off-truncated packed seed mapped keys to their low 17
+                # bits; the ladder then sorted the corrupted plane
+                # consistently). The multiset check catches any such
+                # value-rewriting bug at bench scale for ~free.
+                exact = exact and _multiset_ok(jnp, np, keys, out_k)
+                if op in kv_ops and out_v is not None:
+                    for v_in, v_out in zip(
+                        values if isinstance(values, tuple) else (values,),
+                        out_v if isinstance(out_v, tuple) else (out_v,),
+                    ):
+                        exact = exact and _multiset_ok(jnp, np, v_in, v_out)
             row = dict(
                 engine=engine, n=n, dtype=args.dtype, op=op, kv=int(args.kv),
                 payload=args.payload if op in kv_ops else "",
