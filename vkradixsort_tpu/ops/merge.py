@@ -197,13 +197,17 @@ def _lane_stage(planes, nck, G, flat, d, asc):
 def _midstage_on() -> bool:
     """Trace-time A/B hatch for the roll-free mid stages (d in [128, C/2]).
 
-    Default ON: the r5b stage bench measured the roll-based lane stage at
-    27-60x the reshape-based row stage, and the mid-stage form removes the
-    rolls for the 4 granule-aligned distances; VKRS_MERGE_MIDSTAGE=0
-    restores the all-roll schedule (the measured round-4 baseline)."""
+    Default OFF — a measured NEGATIVE result (r5d, v5e): the r5b stage
+    bench priced roll-based lane stages at 27-60x reshape-based row
+    stages, but re-expressing the granule-aligned distances as reshape
+    selects made stable kv at 1e8 22% SLOWER e2e (472.2 ms vs 386.1,
+    v5e_kv_impl_mid.csv) — splitting the LANE dimension forces Mosaic
+    relayouts that cost more than the rolls they replace; only
+    sublane-dimension reshapes (the row stages) are free. Kept as
+    VKRS_MERGE_MIDSTAGE=1 for study."""
     import os
 
-    return os.environ.get("VKRS_MERGE_MIDSTAGE", "1") != "0"
+    return os.environ.get("VKRS_MERGE_MIDSTAGE", "0") != "0"
 
 
 def _net_level(planes, nck, G, flat, k, final_dir):
