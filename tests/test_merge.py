@@ -245,6 +245,26 @@ def test_seed_impl_iota_wide_keys_stable(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out_v), perm.astype(np.uint32))
 
 
+def test_midstage_hatch_bitwise_identical(rng, monkeypatch):
+    # VKRS_MERGE_MIDSTAGE=1 swaps the granule-aligned lane stages
+    # (d=128..1024) for reshape-based mid stages (merge._mid_stage) in
+    # every network level; the schedule is a measured NEGATIVE on v5e
+    # (BENCHMARKS.md per-stage model) but stays as a recorded A/B and must
+    # remain bitwise-identical to the default roll schedule — tie-heavy
+    # stable kv exercises the syn_tie plane through the mid stages too
+    monkeypatch.setenv("VKRS_MERGE_MIDSTAGE", "1")
+    n = 30_000
+    keys = rng.integers(0, 7, size=n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    out_k, (out_v,) = sort_merge(
+        jnp.asarray(keys), (jnp.asarray(vals),), tile_rows=2,
+        interpret=INTERPRET, segseed=True,
+    )
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), keys[perm])
+    np.testing.assert_array_equal(np.asarray(out_v), perm.astype(np.uint32))
+
+
 def test_argsort_merge_segseed(rng):
     from vkradixsort_tpu.ops.merge import argsort_merge
 
