@@ -119,15 +119,25 @@ def main() -> None:
 
     def _multiset_ok(jnp, np, a_in, a_out):
         """Device-side multiset equality of two same-dtype arrays via a
-        4096-bin histogram of mixed u32 bit views (bench.py's gate)."""
-        def mix(x):
-            x = x ^ (x >> np.uint32(16))
-            x = x * np.uint32(0x7FEB352D)
-            return x ^ (x >> np.uint32(15))
+        4096-bin histogram of mixed bit views (bench.py's gate).
 
+        8-byte dtypes mix in u64 directly: a narrowing ``.view(u32)`` is a
+        bitcast to shape (n, 2) in JAX, and the TPU layout pads the minor
+        dim 2 to 128 — a 64x HBM blowup that OOMs at 1e8."""
         def hist(x):
+            if x.dtype.itemsize == 8:
+                y = x.view(jnp.uint64) if x.dtype != jnp.uint64 else x
+                y = y ^ (y >> np.uint64(33))
+                y = y * np.uint64(0xFF51AFD7ED558CCD)
+                y = y ^ (y >> np.uint64(29))
+                return jnp.bincount(
+                    (y >> np.uint64(52)).astype(jnp.uint32), length=4096
+                )
             b = x.view(jnp.uint32) if x.dtype != jnp.uint32 else x
-            return jnp.bincount(mix(b) >> np.uint32(20), length=4096)
+            b = b ^ (b >> np.uint32(16))
+            b = b * np.uint32(0x7FEB352D)
+            b = b ^ (b >> np.uint32(15))
+            return jnp.bincount(b >> np.uint32(20), length=4096)
 
         return bool(jnp.all(hist(a_in) == hist(a_out)))
 
