@@ -225,8 +225,10 @@ def test_segseed_table_lookup():
             assert isinstance(seg, bool) or (
                 isinstance(seg, int) and seg > 2048 and (seg & (seg - 1)) == 0
             ), (op, seg)
-    # the wide flag selects the 64-bit-key specialization where present,
-    # and falls back to the base rows where not
+    # the wide flag selects the 64-bit-key specialization where present
+    # (r5: keys64 width 32768 closed the u64-Zipf tie; kv64 seeds at every
+    # routed size because the whole 5e5..1e8 bracket was measured seeded)
     assert segseed_for("keys", 10**8) == 8192
-    assert segseed_for("keys", 10**8, wide=True) == 16384
+    assert segseed_for("keys", 10**8, wide=True) == 32768
     assert segseed_for("kv", 10**8, wide=True) == segseed_for("kv", 10**8)
+    assert segseed_for("kv", 2 * 10**6, wide=True) == 16384

@@ -72,9 +72,13 @@ GRAIN_TABLE: dict = {
         # Swept on v5e (benchmarks/results/v5e_merge_grain*.csv, all points
         # exactness-verified): keys valley is 2^15..2^16 at 1e6 (1.11 ms),
         # 2^17 at 1e7 (13.22 ms) and at 1e8 (142.26 ms with the segseed,
-        # 150.42 without); kv optimum at 1e8 is 2^17 seeded (449.71 ms vs
-        # 460.53 at 2^16 and 490.08 at 2^18). argsort follows keys+pos
-        # (v5e_argsort_seg17.csv: 338.4 ms at 2^17 seeded).
+        # 150.42 without). The r5 per-size study confirmed 2^17 at the
+        # newly-routed mid sizes: keys 2e7 24.3 ms at 2^17 vs 25.9 at 2^16,
+        # 4e7 53.1 vs 56.9 (v5e_keys_mid_grain.csv). kv under syn_tie: the
+        # grain x seed surface at 1e8 is FLAT across 2^16-2^17 (384.3-388.5
+        # ms, v5e_kv_syn_grainseed.csv; 2^18 cliff to 461-474), so 2^17
+        # stands. argsort follows keys+pos (v5e_argsort_seg17.csv: 338.4 ms
+        # at 2^17 seeded).
         "keys": [(2_000_000, 1 << 15), (float("inf"), 1 << 17)],
         "kv": [(float("inf"), 1 << 17)],
         "argsort": [(float("inf"), 1 << 17)],
@@ -99,14 +103,24 @@ GRAIN_TABLE: dict = {
 # 319.9 ms at 16384 (340.4 at 2048).
 # Thresholds align with ROUTE_TABLE so every implicitly-routed merge call
 # runs the exact seeded configuration that was measured and exactness-
-# verified at its size. kv64 has no row: the "kv" fallback gives the same
-# measured values (unseeded at the 6e6..1.5e7 crossover points of
-# v5e_kv_u64keys_crossover.csv, width 16384 at 1e8 — 595.1 ms vs 633.9
-# unseeded, v5e_kv64_seedwidth.csv).
+# verified at its size.
 SEGSEED_TABLE: dict = {
     "keys": [(16_000_000, False), (float("inf"), 8192)],
-    "keys64": [(40_000_000, False), (float("inf"), 16384)],
-    "kv": [(15_000_000, False), (float("inf"), 16384)],
+    # keys64 width 32768: ties 16384 on uniform at 1e8 (319.1 vs 319.9 ms,
+    # v5e_u64_seedwidth.csv) and wins Zipf by 6% (319.3 vs 339.2,
+    # v5e_u64_zipf_seedwidth.csv) — the skew-aware pick that closed the r4
+    # u64-Zipf tie (merge 319.3 vs tiled 339.7).
+    "keys64": [(40_000_000, False), (float("inf"), 32768)],
+    # kv boundary tracks the r5 syn_tie route flip (~9e6): the 1e7 and
+    # 1.5e7 crossover points were measured seeded at 16384
+    # (v5e_kv_syn_crossover.csv), and the r5 width matrix re-confirmed
+    # 16384 at 1e8 under syn_tie (384.3-384.5 ms vs 388.0 at 8192 and
+    # 385.1 at 32768, v5e_kv_syn_grainseed.csv).
+    "kv": [(9_000_000, False), (float("inf"), 16384)],
+    # kv64 routes merge from ~1e6 (ROUTE_TABLE) and every r5 bracket point
+    # (5e5..1e8, v5e_kv64_syn_crossover.csv) was measured seeded at 16384,
+    # so the row seeds at every routed size.
+    "kv64": [(float("inf"), 16384)],
     "argsort": [(30_000_000, False), (float("inf"), 16384)],
 }
 
@@ -153,23 +167,27 @@ ROUTE_TABLE: dict = {
     # The TPU analog of the reference's published single-vs-multi regime
     # split (reference README.md:11-22).
     "keys": [(16_000_000, "tiled"), (float("inf"), "merge")],
-    # 64-bit keys-only: merge (2 lex planes, seed width 16384) wins 1e8 —
-    # 319.9 vs 339.9 ms (v5e_u64_seedwidth.csv; tie under Zipf skew,
-    # v5e_u64_zipf.csv) — but no seeded point below 1e8 is measured, so
-    # the flip stays at the round-3 4e7 boundary rather than inheriting
-    # the u32 one.
+    # 64-bit keys-only: merge (2 lex planes, seed width 32768) wins 1e8 —
+    # 319.1 vs 339.9 ms uniform (v5e_u64_seedwidth.csv) AND 319.3 vs 339.7
+    # under Zipf (v5e_u64_zipf_seedwidth.csv — the r4 tie was a seed-width
+    # artifact; 32768 closes it) — but no seeded point below 1e8 is
+    # measured, so the flip stays at the round-3 4e7 boundary rather than
+    # inheriting the u32 one.
     "keys64": [(40_000_000, "tiled"), (float("inf"), "merge")],
-    # kv: at the swept grain (2^17) + seed width 16384, merge beats tiled's
-    # stable carry from 2e7 up — 74.3 vs 78.8 ms at 2e7, 160.0 vs 176.8 at
-    # 4e7 (v5e_kv_crossover_w16384.csv), 425.7 vs 474.6 at 1e8
-    # (v5e_kv_seedwidth.csv); tiled still wins 1e7 (34.3 vs 38.0 at seed
-    # 2048 — the seeded-16384 1e7 point brackets the flip at ~1.5e7).
-    "kv": [(15_000_000, "tiled"), (float("inf"), "merge")],
+    # kv: re-bracketed in r5 on the shipped syn_tie pipeline (the synthetic
+    # tie plane made merge ~10% cheaper, moving the flip down from the
+    # pre-syn_tie ~1.5e7): at grain 2^17 + seed width 16384, merge wins 1e7
+    # (32.2 vs 34.6 ms), ties 1.5e7 (47.5 vs 47.2) and wins 2e7 (68.5 vs
+    # 78.1), 4e7 (146.3 vs 176.8) and 1e8 (384.7 vs 474.6); tiled wins 8e6
+    # (21.5 vs 29.1) — v5e_kv_syn_crossover.csv, v5e_kv_mid_grain.csv.
+    "kv": [(9_000_000, "tiled"), (float("inf"), "merge")],
     # 64-bit-key kv: the XLA carry degrades super-linearly with the wide
-    # comparator while merge just adds a compare plane, so the crossover
-    # sits a decade lower (v5e_kv_u64keys_crossover.csv: tiled wins 4e6
-    # 19.2 vs 22.4 ms, merge wins 1e7 61.6 vs 86.0 — 1.4x — and 1e8 1.92x).
-    "kv64": [(6_000_000, "tiled"), (float("inf"), "merge")],
+    # comparator while merge just adds a compare plane, and syn_tie pushed
+    # the crossover to ~1e6 — r5 bracket (v5e_kv64_syn_crossover.csv):
+    # tiled wins 5e5 (1.72 vs 1.99 ms), tie at 1e6 (3.76 vs 3.68), merge
+    # wins 2e6 (1.10x), 4e6 (1.32x), 1e7 (1.87x), 1e8 (554.7 vs 1216.9 —
+    # 2.19x).
+    "kv64": [(800_000, "tiled"), (float("inf"), "merge")],
     # UNSTABLE kv: the relaxation drops the position compare plane, so the
     # merge composite runs 2 planes (key + carried value). Measured vs the
     # packed-u64 direct i64 sort (what "tiled" means here where eligible —
@@ -182,7 +200,7 @@ ROUTE_TABLE: dict = {
     # tiled-unstable IS the stable carry and the stable kv64 crossover
     # bounds this flip from above (merge-unstable, one plane lighter than
     # merge-stable, can only cross earlier)
-    "kv_unstable64": [(6_000_000, "tiled"), (float("inf"), "merge")],
+    "kv_unstable64": [(800_000, "tiled"), (float("inf"), "merge")],
     # argsort: merge (keys+pos 2-plane, grain 2^17, seed width 16384) wins
     # 4e7 (120.1 vs 126.7 ms — v5e_argsort_crossover_w16384.csv) and 1e8
     # (319.0 vs 340.6 — v5e_argsort_seedwidth.csv); tiled packed-i64 won
@@ -193,12 +211,12 @@ ROUTE_TABLE: dict = {
     # is the composite (key, position) lax.sort; "merge" runs the same total
     # order through ops/merge. n here is the PER-SHARD chunk size, and the
     # local sort IS the kv composite (key planes + gidx carry + payloads),
-    # so the rows inherit the measured kv crossovers: u32 keys flip at
-    # ~1.5e7/shard (v5e_kv_crossover_w16384.csv: tie at 1e7, merge 1.06x at
-    # 2e7), u64 keys at ~6e6/shard (v5e_kv_u64keys_crossover.csv: 1.40x at
-    # 1e7, 2.05x at 1e8).
-    "dist_local": [(15_000_000, "xla"), (float("inf"), "merge")],
-    "dist_local64": [(6_000_000, "xla"), (float("inf"), "merge")],
+    # so the rows inherit the r5 syn_tie-era kv crossovers: u32 keys flip
+    # at ~9e6/shard (v5e_kv_syn_crossover.csv: merge 1.07x at 1e7, 1.14x
+    # at 2e7), u64 keys at ~1e6/shard (v5e_kv64_syn_crossover.csv: tie at
+    # 1e6, merge 1.10x at 2e6, 1.87x at 1e7).
+    "dist_local": [(9_000_000, "xla"), (float("inf"), "merge")],
+    "dist_local64": [(800_000, "xla"), (float("inf"), "merge")],
 }
 
 
