@@ -359,9 +359,9 @@ def test_pick_local_engine_receive_buffer_envelope():
 
 
 def test_pick_local_engine_measured_crossovers(monkeypatch):
-    """Implicit local-engine choice follows the measured kv crossovers:
-    u32 keys flip at 1.5e7 per shard, u64 (two key planes) at 6e6 —
-    ROUTE_TABLE's dist_local / dist_local64 rows."""
+    """Implicit local-engine choice follows the measured kv crossovers
+    (r5 syn_tie brackets): u32 keys flip at ~9e6 per shard, u64 (two key
+    planes) at ~1e6 — ROUTE_TABLE's dist_local / dist_local64 rows."""
     import jax as _jax
 
     from vkradixsort_tpu.parallel import distributed as dmod
@@ -371,8 +371,8 @@ def test_pick_local_engine_measured_crossovers(monkeypatch):
     )
     gdt = jnp.dtype(jnp.int32)
     pick = dmod._pick_local_engine
-    assert pick(None, gdt, (), 10_000_000, 20_000_000, 1) == "xla"
-    assert pick(None, gdt, (), 20_000_000, 40_000_000, 1) == "merge"
-    # two key planes = 64-bit keys: the decade-lower crossover applies
-    assert pick(None, gdt, (), 4_000_000, 8_000_000, 2) == "xla"
-    assert pick(None, gdt, (), 8_000_000, 16_000_000, 2) == "merge"
+    assert pick(None, gdt, (), 8_000_000, 16_000_000, 1) == "xla"
+    assert pick(None, gdt, (), 12_000_000, 24_000_000, 1) == "merge"
+    # two key planes = 64-bit keys: the far-lower crossover applies
+    assert pick(None, gdt, (), 500_000, 1_000_000, 2) == "xla"
+    assert pick(None, gdt, (), 2_000_000, 4_000_000, 2) == "merge"
