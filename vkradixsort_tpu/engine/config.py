@@ -110,7 +110,9 @@ SEGSEED_TABLE: dict = {
     # v5e_u64_seedwidth.csv) and wins Zipf by 6% (319.3 vs 339.2,
     # v5e_u64_zipf_seedwidth.csv) — the skew-aware pick that closed the r4
     # u64-Zipf tie (merge 319.3 vs tiled 339.7).
-    "keys64": [(40_000_000, False), (float("inf"), 32768)],
+    # boundary tracks the 2e7 route flip: the r5 bracket points (2e7, 4e7)
+    # were measured seeded at 32768 (v5e_u64_keys_crossover_r5.csv)
+    "keys64": [(20_000_000, False), (float("inf"), 32768)],
     # kv boundary tracks the r5 syn_tie route flip (~9e6): the 1e7 and
     # 1.5e7 crossover points were measured seeded at 16384
     # (v5e_kv_syn_crossover.csv), and the r5 width matrix re-confirmed
@@ -170,10 +172,10 @@ ROUTE_TABLE: dict = {
     # 64-bit keys-only: merge (2 lex planes, seed width 32768) wins 1e8 —
     # 319.1 vs 339.9 ms uniform (v5e_u64_seedwidth.csv) AND 319.3 vs 339.7
     # under Zipf (v5e_u64_zipf_seedwidth.csv — the r4 tie was a seed-width
-    # artifact; 32768 closes it) — but no seeded point below 1e8 is
-    # measured, so the flip stays at the round-3 4e7 boundary rather than
-    # inheriting the u32 one.
-    "keys64": [(40_000_000, "tiled"), (float("inf"), "merge")],
+    # artifact; 32768 closes it). r5 bracket at the shipped seed
+    # (v5e_u64_keys_crossover_r5.csv): dead tie at 2e7 (57.1 vs 56.8),
+    # merge 1.05x at 4e7 (121.5 vs 127.7) — flip encoded at 2e7.
+    "keys64": [(20_000_000, "tiled"), (float("inf"), "merge")],
     # kv: re-bracketed in r5 on the shipped syn_tie pipeline (the synthetic
     # tie plane made merge ~10% cheaper, moving the flip down from the
     # pre-syn_tie ~1.5e7): at grain 2^17 + seed width 16384, merge wins 1e7
@@ -204,8 +206,11 @@ ROUTE_TABLE: dict = {
     # argsort: merge (keys+pos 2-plane, grain 2^17, seed width 16384) wins
     # 4e7 (120.1 vs 126.7 ms — v5e_argsort_crossover_w16384.csv) and 1e8
     # (319.0 vs 340.6 — v5e_argsort_seedwidth.csv); tiled packed-i64 won
-    # the unseeded 1e7 point (24.8 vs 33.8). Merge also needs no x64 (the
-    # packed path does; without x64 tiled falls back to the 474 ms carry).
+    # the unseeded 1e7 point (24.8 vs 33.8) and the r5 gap fill validated
+    # the 3e7 boundary: tie at 2e7 (56.1 vs 56.5), tiled 1.06x at 3e7
+    # (78.2 vs 83.2 — v5e_argsort_crossover_r5.csv). Merge also needs no
+    # x64 (the packed path does; without x64 tiled falls back to the 474
+    # ms carry).
     "argsort": [(30_000_000, "tiled"), (float("inf"), "merge")],
     # Local phases of the distributed sort (parallel/distributed.py): "xla"
     # is the composite (key, position) lax.sort; "merge" runs the same total
