@@ -194,6 +194,62 @@ def _lane_stage(planes, nck, G, flat, d, asc):
     ]
 
 
+def _sub128_stages(planes, nck, G, k, final_dir, d_hi):
+    """Transpose-sandwich for the sub-granule stages d = d_hi..1 (d_hi <=
+    64) of level ``k``: ONE pair of (T/128, 128) transposes converts the
+    lane distances the VPU can only reach by rolls into SUBLANE distances,
+    so each stage becomes the layout-free first-dim split the row stages
+    use — no rolls at all. The r5 probe (benchmarks/transpose_probe.py,
+    v5e) priced the 7-stage bundle at 0.36 ms vs 0.82 for the roll form at
+    3e7 x 1 plane — the transposes amortize over the whole bundle, which
+    is why this wins where the per-stage reshape (_mid_stage) lost.
+
+    In the transposed (128, T/128) view, element (j, g) is flat index
+    i = g*128 + j, so exchange partners at distance d < 128 share a column
+    g and the direction mask splits cleanly: for k >= 128 it reads only
+    bits of g (constant per column); for k < 128 only bits of j above
+    log2(2d), i.e. the block index (constant per 2d-block of rows).
+    """
+    T = G * C
+    Tg = T // 128
+    cols = [p.reshape(Tg, 128).T for p in planes]
+    d = d_hi
+    while d >= 1:
+        nb2 = 128 // (2 * d)
+        rs = [c.reshape(nb2, 2, d, Tg) for c in cols]
+        us = [r[:, 0] for r in rs]
+        vs = [r[:, 1] for r in rs]
+        if final_dir is None:
+            if k >= 128:
+                gi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Tg), 2)
+                asc = jnp.where(((gi * 128) & k) == 0, 1, 0)
+            else:
+                bi = jax.lax.broadcasted_iota(jnp.int32, (nb2, 1, 1), 0)
+                asc = jnp.where(((bi * (2 * d)) & k) == 0, 1, 0)
+        else:
+            asc = final_dir
+        le = _lex_le_i(us, vs, nck)
+        first_is_u = jnp.where(asc == 1, le, 1 - le) == 1
+        firsts = [jnp.where(first_is_u, u, v) for u, v in zip(us, vs)]
+        seconds = [jnp.where(first_is_u, v, u) for u, v in zip(us, vs)]
+        cols = [
+            jnp.concatenate([f[:, None], s[:, None]], axis=1).reshape(128, Tg)
+            for f, s in zip(firsts, seconds)
+        ]
+        d >>= 1
+    return [c.T.reshape(T) for c in cols]
+
+
+def _tpose_on() -> bool:
+    """Trace-time A/B hatch for the transpose-sandwich sub-128 stages.
+
+    VKRS_MERGE_TPOSE=0 restores the all-roll schedule (the round-4
+    baseline); the default follows the measured winner."""
+    import os
+
+    return os.environ.get("VKRS_MERGE_TPOSE", "1") != "0"
+
+
 def _midstage_on() -> bool:
     """Trace-time A/B hatch for the roll-free mid stages (d in [128, C/2]).
 
@@ -220,6 +276,7 @@ def _net_level(planes, nck, G, flat, k, final_dir):
     alternates per run (module docstring).
     """
     mid = _midstage_on()
+    tpose = _tpose_on()
     d = k >> 1
     while d >= C:
         dr = d // C
@@ -234,12 +291,14 @@ def _net_level(planes, nck, G, flat, k, final_dir):
     while d >= 128 and mid:
         planes = _mid_stage(planes, nck, G, d, k, final_dir)
         d >>= 1
-    while d >= 1:
+    while d >= 128 or (d >= 1 and not tpose):
         asc = (
             jnp.where((flat & k) == 0, 1, 0) if final_dir is None else final_dir
         )
         planes = _lane_stage(planes, nck, G, flat, d, asc)
         d >>= 1
+    if d >= 1:
+        planes = _sub128_stages(planes, nck, G, k, final_dir, d)
     return planes
 
 
